@@ -1,0 +1,112 @@
+"""Deterministic synthetic image+caption payload table.
+
+Schema is exactly BASELINE.json input_hint:
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash long)
+
+Generation is DISTRIBUTED: the driver materializes only a range of ids;
+pixel synthesis + encoding happens executor-side in `mapInPandas`
+(Arrow-batched — never per-row Python). Each image is a pure function
+of its integer id, so any partition (or a resumed run) regenerates
+identical bytes — the same property a re-crawl of a content-addressed
+image store would have.
+
+Caption shapes mirror the reference's figure fixtures
+(/root/reference/tests/parseArticle.test.js:415-419 asserts caption
+text like "A scenic mountain view" / aria-describedby captions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..codecs.images import encode_lossy, encode_png, phash64
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+_SIZES = [(64, 64), (120, 90), (480, 360), (640, 480)]
+_SUBJECTS = [
+    "a scenic mountain view",
+    "quarterly revenue by segment",
+    "the city skyline at dusk",
+    "a prototype circuit board",
+    "rainfall totals by region",
+    "the championship final",
+    "a coral reef survey",
+    "traffic flow on the ring road",
+]
+
+
+def synth_pixels(img_idx: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic (h, w, 3) uint8 pixels for image id `img_idx`."""
+    rng = np.random.RandomState(0xC0FFEE ^ (img_idx & 0x7FFFFFFF))
+    w, h = _SIZES[img_idx % len(_SIZES)]
+    pattern = img_idx % 3
+    yy, xx = np.mgrid[0:h, 0:w]
+    if pattern == 0:  # diagonal gradient
+        base = ((xx + yy) * 255 // max(w + h - 2, 1)).astype(np.uint8)
+        px = np.stack([base, np.roll(base, w // 4, axis=1), base[::-1]], axis=2)
+    elif pattern == 1:  # color bands
+        band = ((xx * 8 // max(w, 1)) * 32).astype(np.uint8)
+        px = np.stack([band, 255 - band, (band + 64) % 256], axis=2).astype(np.uint8)
+    else:  # seeded noise blocks
+        px = rng.randint(0, 256, size=(h // 8 + 1, w // 8 + 1, 3), dtype=np.uint8)
+        px = px.repeat(8, axis=0).repeat(8, axis=1)[:h, :w]
+    return np.ascontiguousarray(px), w, h
+
+
+def caption_for(img_idx: int) -> str:
+    subj = _SUBJECTS[img_idx % len(_SUBJECTS)]
+    return f"Figure {img_idx}. Photograph of {subj}."
+
+
+def image_id_for(img_idx: int) -> str:
+    return f"img-{img_idx:08d}"
+
+
+def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
+    rows = []
+    for i in ids:
+        i = int(i)
+        px, w, h = synth_pixels(i)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        data = encode_png(px) if fmt == "png" else encode_lossy(px)
+        rows.append(
+            {
+                "image_id": image_id_for(i),
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption_for(i),
+                "phash": phash64(px),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic images table of `n` rows."""
+    base = spark.range(0, n, 1, partitions or min(32, max(1, n // 64 or 1)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _gen_batch(pdf["id"].values)
+
+    return base.mapInPandas(gen, schema=IMAGES_SCHEMA)

@@ -1,0 +1,228 @@
+"""URL canonicalization, skip predicates and article-likeness filters.
+
+Semantics are behavior-parity reimplementations of the reference's URL
+handling (NOT code ports):
+
+- canonicalize_url  ≈ `new URL(u).toString()` normalization
+  (/root/reference/scripts/batch-crawl.js:64-66,
+   /root/reference/scripts/fetch-curated-urls.js:43-45) — lowercase
+  scheme/host, strip default port, drop fragment, '/' path default.
+- skip_reason       ≈ skipUrl (/root/reference/scripts/batch-sample-run.js:100-115):
+  non-http(s) scheme, non-HTML resource extensions, denylisted hosts/paths.
+- keep_likely_article ≈ keepLikelyArticles
+  (/root/reference/scripts/fetch-curated-urls.js:47-74).
+- amp_candidates    ≈ ampCandidates (/root/reference/scripts/batch-sample-run.js:85-98).
+- absolutify        ≈ absolutifyUrl (/root/reference/index.js:1033-1042) via urljoin.
+
+Each exists in two forms:
+ 1. a plain-Python scalar function (used by the parity simulator and
+    inside pandas UDFs), and
+ 2. a Column-expression builder (`*_col`) that keeps the hot-path work
+    JVM-side inside whole-stage codegen wherever regex/parse_url can
+    express it — pandas UDFs only where true URL-parsing is required.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+NON_HTML_EXT_RE = r"(?i)\.(pdf|docx?|pptx?|xlsx?|zip|gz|rar|7z|tar|mp3|mp4|avi|mov|wmv)$"
+_NON_HTML_EXT = re.compile(NON_HTML_EXT_RE)
+_SECTION_NAMES = frozenset(
+    {"news", "blog", "blogs", "articles", "stories", "index", "category"}
+)
+_DATED_PATH = re.compile(r"/(19|20)\d{2}/[01]?\d/")
+_SLUGGY = re.compile(r"[-_]")
+DENY_HOST_SUFFIXES = ("lists.ding.net",)
+
+
+# ---------------------------------------------------------------- scalar
+
+
+def canonicalize_url(u: str | None) -> str | None:
+    """Canonical form: lowercase scheme/host, default-port strip, no
+    fragment, '/' path when empty. Returns None for unparseable input."""
+    if not u:
+        return None
+    try:
+        parts = urlsplit(u.strip())
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme or not parts.netloc:
+        return None
+    host = parts.hostname
+    if host is None:
+        return None
+    host = host.lower().rstrip(".")
+    netloc = host
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def url_host(u: str | None) -> str | None:
+    if not u:
+        return None
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return None
+    host = parts.hostname
+    return host.lower().rstrip(".") if host else None
+
+
+def skip_reason(u: str | None) -> str | None:
+    """Non-None means: drop this URL from the frontier, with a reason."""
+    if not u:
+        return "skip: empty"
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https"):
+        return "skip: non-http(s) scheme"
+    path = parts.path or ""
+    if _NON_HTML_EXT.search(path):
+        return "skip: non-html resource"
+    host = (parts.hostname or "").lower()
+    for suffix in DENY_HOST_SUFFIXES:
+        if host.endswith(suffix):
+            return "skip: forbidden archive"
+    if host.endswith("aljazeera.com") and path.startswith("/gallery/"):
+        return "skip: gallery"
+    return None
+
+
+def keep_likely_article(u: str | None) -> bool:
+    if not u:
+        return False
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return False
+    if parts.scheme not in ("http", "https") or not parts.netloc:
+        return False
+    low = u.lower()
+    path = parts.path or "/"
+    segments = [s for s in path.split("/") if s]
+    last = segments[-1] if segments else ""
+    if "/live/" in low or "/video" in low or "/podcast" in low:
+        return False
+    if low.endswith((".xml", ".rss", ".atom")):
+        return False
+    if path in ("/", ""):
+        return False
+    if len(segments) == 1 and segments[0] in _SECTION_NAMES:
+        return False
+    looks_dated = bool(_DATED_PATH.search(path))
+    has_slug = bool(_SLUGGY.search(last)) or (
+        len(last) >= 8 and any(c.isalpha() and c.islower() for c in last)
+    )
+    if not looks_dated and not has_slug and len(segments) < 2:
+        return False
+    return True
+
+
+def amp_candidates(raw: str | None) -> list[str]:
+    if not raw:
+        return []
+    try:
+        parts = urlsplit(raw)
+    except ValueError:
+        return []
+    if not parts.scheme or not parts.netloc:
+        return []
+    origin = f"{parts.scheme}://{parts.netloc}"
+    path = parts.path if parts.path.endswith("/") else parts.path + "/"
+    q_amp = (parts.query + "&" if parts.query else "") + "amp=1"
+    q_out = (parts.query + "&" if parts.query else "") + "output=amp"
+    return [
+        origin + path + "amp",
+        origin + path + "amp.html",
+        origin + parts.path + "?" + q_amp,
+        origin + parts.path + "?" + q_out,
+    ]
+
+
+def absolutify(base: str, href: str | None) -> str | None:
+    if href is None:
+        return None
+    href = href.strip()
+    if not href or href.startswith(("javascript:", "mailto:", "#")):
+        return None
+    try:
+        return urljoin(base, href)
+    except ValueError:
+        return None
+
+
+# ------------------------------------------------------------- columns
+
+
+def host_col(url: Column) -> Column:
+    """JVM-side host extraction (stays in whole-stage codegen)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def skip_col(url: Column) -> Column:
+    """JVM-side boolean: True when the URL should be dropped (F3).
+
+    Mirrors `skip_reason` for the http(s) fast path; pure built-ins so
+    Catalyst can push it into the scan.
+    """
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    host = F.coalesce(host_col(url), F.lit(""))
+    return (
+        ~F.lower(url).rlike(r"^https?://")
+        | path.rlike(NON_HTML_EXT_RE)
+        | host.endswith("lists.ding.net")
+        | (host.endswith("aljazeera.com") & path.startswith("/gallery/"))
+    )
+
+
+def keep_likely_article_col(url: Column) -> Column:
+    """JVM-side article-likeness predicate (F4) — built-ins only."""
+    low = F.lower(url)
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
+    segments = F.filter(F.split(path, "/"), lambda s: s != "")
+    nseg = F.size(segments)
+    last = F.coalesce(F.try_element_at(segments, F.lit(-1)), F.lit(""))
+    section_first = F.coalesce(
+        F.try_element_at(segments, F.lit(1)).isin(*_SECTION_NAMES), F.lit(False)
+    )
+    looks_dated = path.rlike(r"/(19|20)\d{2}/[01]?\d/")
+    has_slug = last.rlike(r"[-_]") | ((F.length(last) >= 8) & last.rlike(r"[a-z]"))
+    return (
+        low.rlike(r"^https?://")
+        & ~low.contains("/live/")
+        & ~low.contains("/video")
+        & ~low.contains("/podcast")
+        & ~low.rlike(r"\.(xml|rss|atom)$")
+        & (path != "/") & (path != "")
+        & ~((nseg == 1) & section_first)
+        & (looks_dated | has_slug | (nseg >= 2))
+    )
+
+
+@pandas_udf(StringType())
+def canonicalize_url_udf(urls: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Arrow-batched canonicalization — full URL-parse semantics that
+    parse_url can't express (default-port strip, IDN-safe lowercase)."""
+    for s in urls:
+        yield s.map(canonicalize_url, na_action="ignore")

@@ -1,0 +1,423 @@
+"""Article extraction: HTML → wide nullable struct, one Arrow pass.
+
+The reference builds its nested `article` object imperatively across
+~1,400 lines (/root/reference/index.js:123-1554); here the same WHAT is
+restated as ONE vectorized pandas UDF producing a fixed nullable
+StructType (SURVEY §1.3: absent key ⇒ null/empty — the faithful
+columnar encoding of the reference's schemaless output). A single
+JVM↔Python crossing per fetch wave; everything downstream (readability,
+sentiment, keyword joins) is JVM-side column algebra.
+
+Semantics parity (behavior, not code):
+- title cascade + suffix-strip  — /root/reference/controllers/titleDetector.js:11-39
+- meta name/property harvest    — /root/reference/index.js:644-673
+- links: ≤1000, ws-collapsed text, drop only when href AND text empty
+                                 — /root/reference/index.js:996-1012
+- images: ≤500, 12-attr struct, data-src ladder, caption finder
+  (closest figure → parent caption selectors → aria-describedby →
+   next sibling)                — /root/reference/index.js:1014-1181
+- JSON-LD Article BFS           — /root/reference/controllers/structuredData.js:199-261
+- table header inference        — /root/reference/controllers/structuredData.js:43-130
+- dt/dd pairing                 — /root/reference/controllers/structuredData.js:132-159
+- excerpt ≈ first 200 chars to word boundary, capitalized
+                                 — /root/reference/index.js:1399
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions.htmldom import Element, clean_ws, get_by_id, parse_html
+
+MAX_LINKS = 1000
+MAX_IMAGES = 500
+
+_CAPTION_SELECTORS = (
+    "figcaption",
+    ".caption",
+    ".image-caption",
+    ".media-caption",
+    ".media__caption",
+    ".wp-caption-text",
+    ".gallery-caption",
+    '[itemprop="caption"]',
+)
+_DATA_SRC_ATTRS = (
+    "data-src",
+    "data-lazy-src",
+    "data-lazy",
+    "data-original",
+    "data-default-src",
+    "data-hires",
+    "data-srcset",
+)
+_FIGURE_CAPTION_SELECTORS = ("figcaption", ".caption", ".wp-caption-text")
+_TITLE_SUFFIX_1 = re.compile(r"\s*[|–·»]\s*[^|–:·»-]{2,}\s*$")
+_TITLE_SUFFIX_2 = re.compile(r"\s+-\s+[^|–:·»-]{2,}\s*$")
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+_ARTICLE_TYPE_RE = re.compile(r"Article$", re.IGNORECASE)
+
+IMAGE_STRUCT = T.StructType(
+    [
+        T.StructField("index", T.IntegerType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("alt", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("loading", T.StringType()),
+        T.StructField("decoding", T.StringType()),
+        T.StructField("srcset", T.StringType()),
+        T.StructField("sizes", T.StringType()),
+        T.StructField("dataSrc", T.StringType()),
+    ]
+)
+
+ARTICLE_STRUCT = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("doc_title", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("description", T.StringType()),
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("href", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("images", T.ArrayType(IMAGE_STRUCT)),
+        T.StructField("headline", T.StringType()),
+        T.StructField("article_body", T.StringType()),
+        T.StructField("n_jsonld_articles", T.IntegerType()),
+        T.StructField(
+            "tables",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("caption", T.StringType()),
+                        T.StructField("headers", T.ArrayType(T.StringType())),
+                        T.StructField("rowCount", T.IntegerType()),
+                        T.StructField("columnCount", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "definitions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType()),
+                        T.StructField("definition", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("text_raw", T.StringType()),
+        T.StructField("excerpt", T.StringType()),
+    ]
+)
+
+
+def normalize_title(title: str | None) -> str | None:
+    if not title:
+        return None
+    t = clean_ws(title) or ""
+    t = _TITLE_SUFFIX_1.sub("", t)
+    t = _TITLE_SUFFIX_2.sub("", t)
+    t = t.strip()
+    return t or None
+
+
+def _absolutify(base: str | None, value: str | None) -> str | None:
+    trimmed = clean_ws(value)
+    if not trimmed:
+        return None
+    if _SCHEME_RE.match(trimmed):
+        return trimmed
+    if base:
+        try:
+            return urljoin(base, trimmed)
+        except ValueError:
+            return trimmed
+    return trimmed
+
+
+def _meta_map(root: Element) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for el in root.find_all("meta"):
+        key = el.get("name") or el.get("property")
+        content = el.get("content")
+        if key and content is not None and key not in out:
+            out[key] = content
+    return out
+
+
+def _jsonld_articles(root: Element) -> tuple[str | None, str | None, int]:
+    """BFS every JSON-LD block for @type matching /Article$/i; first
+    headline/articleBody win; article nodes deduped by JSON string."""
+    headline = body = None
+    seen: set[str] = set()
+    for script in root.find_all("script"):
+        if (script.get("type") or "").lower() != "application/ld+json":
+            continue
+        raw = script.text().strip()
+        if not raw:
+            continue
+        try:
+            data = json.loads(raw)
+        except ValueError:
+            continue
+        queue = [data]
+        while queue:
+            node = queue.pop(0)
+            if isinstance(node, list):
+                queue.extend(node)
+                continue
+            if not isinstance(node, dict):
+                continue
+            ntype = node.get("@type")
+            types = ntype if isinstance(ntype, list) else [ntype]
+            if any(isinstance(t, str) and _ARTICLE_TYPE_RE.search(t) for t in types):
+                key = json.dumps(node, sort_keys=True)
+                if key not in seen:
+                    seen.add(key)
+                    if headline is None and isinstance(node.get("headline"), str):
+                        headline = clean_ws(node["headline"])
+                    if body is None and isinstance(node.get("articleBody"), str):
+                        body = node["articleBody"]
+            queue.extend(v for v in node.values() if isinstance(v, (dict, list)))
+    return headline, body, len(seen)
+
+
+def _find_caption(img: Element, root: Element) -> str | None:
+    def visit(node: Element | None) -> str | None:
+        return clean_ws(node.text()) if node is not None else None
+
+    figure = img.closest("figure")
+    if figure is not None:
+        for sel in _FIGURE_CAPTION_SELECTORS:
+            for cand in figure.iter():
+                if cand.matches_caption_selector((sel,)):
+                    text = visit(cand)
+                    if text:
+                        return text
+                    break
+    parent = img.parent
+    if parent is not None:
+        if parent.matches_caption_selector(_CAPTION_SELECTORS):
+            text = visit(parent)
+            if text:
+                return text
+        for cand in parent.iter():
+            if cand.matches_caption_selector(_CAPTION_SELECTORS):
+                text = visit(cand)
+                if text:
+                    return text
+    described = clean_ws(img.get("aria-describedby"))
+    if described:
+        for node_id in described.split():
+            text = visit(get_by_id(root, node_id))
+            if text:
+                return text
+    return visit(img.next_element_sibling())
+
+
+def _parse_dimension(value: str | None) -> int | None:
+    if value is None or value == "":
+        return None
+    try:
+        return int(float(str(value).strip()))
+    except ValueError:
+        return None
+
+
+def _extract_images(container: Element, root: Element, base: str | None) -> list[dict]:
+    images = []
+    for el in container.find_all("img")[:MAX_IMAGES]:
+        src = _absolutify(base, el.get("src"))
+        data_src = None
+        for attr in _DATA_SRC_ATTRS:
+            data_src = _absolutify(base, el.get(attr))
+            if data_src:
+                break
+        if not src and data_src:
+            src = data_src
+        if not src:
+            continue
+        images.append(
+            {
+                "index": len(images),
+                "src": src,
+                "alt": clean_ws(el.get("alt")),
+                "title": clean_ws(el.get("title")),
+                "caption": _find_caption(el, root),
+                "width": _parse_dimension(el.get("width")),
+                "height": _parse_dimension(el.get("height")),
+                "loading": clean_ws(el.get("loading")),
+                "decoding": clean_ws(el.get("decoding")),
+                "srcset": clean_ws(el.get("srcset")),
+                "sizes": clean_ws(el.get("sizes")),
+                "dataSrc": data_src,
+            }
+        )
+    return images
+
+
+def _extract_links(container: Element, base: str | None) -> list[dict]:
+    links = []
+    for el in container.find_all("a"):
+        if len(links) >= MAX_LINKS:
+            break
+        href = (el.get("href") or "").strip()
+        text = clean_ws(el.text()) or ""
+        if not href and not text:
+            continue
+        links.append({"href": _absolutify(base, href) or href, "text": text})
+    return links
+
+
+def _extract_tables(container: Element) -> list[dict]:
+    out = []
+    for tbl in container.find_all("table"):
+        caption_el = tbl.find("caption")
+        rows = tbl.find_all("tr")
+        headers: list[str] = []
+        body_rows = rows
+        thead = tbl.find("thead")
+        if thead is not None:
+            head_row = thead.find("tr")
+            if head_row is not None:
+                headers = [clean_ws(c.text()) or "" for c in head_row.find_all("th", "td")]
+                body_rows = [r for r in rows if r is not head_row]
+        elif rows:
+            first_cells = rows[0].find_all("th", "td")
+            if first_cells and all(c.tag == "th" for c in first_cells):
+                headers = [clean_ws(c.text()) or "" for c in first_cells]
+                body_rows = rows[1:]
+        n_cols = len(headers) or max(
+            (len(r.find_all("th", "td")) for r in body_rows), default=0
+        )
+        out.append(
+            {
+                "caption": clean_ws(caption_el.text()) if caption_el else None,
+                "headers": headers,
+                "rowCount": len(body_rows),
+                "columnCount": n_cols,
+            }
+        )
+    return out
+
+
+def _extract_definitions(container: Element) -> list[dict]:
+    out = []
+    for dl in container.find_all("dl"):
+        term = None
+        for child in dl.children:
+            if not isinstance(child, Element):
+                continue
+            if child.tag == "dt":
+                term = clean_ws(child.text())
+            elif child.tag == "dd" and term is not None:
+                out.append({"term": term, "definition": clean_ws(child.text())})
+    return out
+
+
+_BLOCK_TAGS = frozenset("p h1 h2 h3 h4 h5 h6 li blockquote".split())
+
+
+def _block_text(container: Element) -> str:
+    parts = []
+    for el in container.iter():
+        if el.tag in _BLOCK_TAGS:
+            txt = clean_ws(el.text())
+            if txt:
+                parts.append(txt)
+    return "\n\n".join(parts)
+
+
+def _excerpt(text: str | None) -> str | None:
+    if not text:
+        return None
+    flat = clean_ws(text) or ""
+    if len(flat) <= 200:
+        snippet = flat
+    else:
+        cut = flat[:200]
+        rest = flat[200:]
+        extra = rest.split(" ", 1)[0] if rest and not cut.endswith(" ") else ""
+        snippet = (cut + extra).strip()
+    if not snippet:
+        return None
+    return snippet[0].upper() + snippet[1:]
+
+
+def extract_article(url: str | None, html: str | None) -> dict:
+    """Scalar extraction: one HTML document → article dict (UDF kernel)."""
+    empty = {f.name: None for f in ARTICLE_STRUCT.fields}
+    if not html:
+        return empty
+    root = parse_html(html)
+    container = root.find("article") or root.find("body") or root
+    title_el = root.find("title")
+    doc_title = clean_ws(title_el.text()) if title_el else None
+    meta = _meta_map(root)
+    headline, article_body, n_articles = _jsonld_articles(root)
+    h1 = container.find("h1") or root.find("h1")
+    title = (
+        normalize_title(headline)
+        or normalize_title(meta.get("og:title") or meta.get("twitter:title"))
+        or normalize_title(h1.text() if h1 is not None else None)
+        or normalize_title(doc_title)
+    )
+    text_raw = _block_text(container)
+    return {
+        "title": title,
+        "doc_title": doc_title,
+        "meta": meta,
+        "description": meta.get("description"),
+        "links": _extract_links(container, url),
+        "images": _extract_images(container, root, url),
+        "headline": headline,
+        "article_body": article_body,
+        "n_jsonld_articles": n_articles,
+        "tables": _extract_tables(container),
+        "definitions": _extract_definitions(container),
+        "text_raw": text_raw,
+        "excerpt": _excerpt(text_raw),
+    }
+
+
+def extract_articles(
+    fetched: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """DataFrame op: adds an `article` struct column via one Arrow pass."""
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fetched.schema.fields
+    )
+    out_schema = f"{in_fields}, `article` {ARTICLE_STRUCT.simpleString()}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["article"] = [
+                extract_article(u, h) for u, h in zip(pdf[url_col], pdf[html_col])
+            ]
+            yield pdf
+
+    return fetched.mapInPandas(run, schema=out_schema)

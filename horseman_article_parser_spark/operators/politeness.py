@@ -1,0 +1,119 @@
+"""Politeness: robots.txt rule evaluation + per-host wave budgets
+(SURVEY §2.9 T2, §4 custom component #2 — north-rule additions; the
+reference's only politeness primitive is one-URL-per-host,
+/root/reference/scripts/batch-sample-run.js:70-83).
+
+Robots model (FIXTURES.md §5): a small policy table
+  (host, rule_type 'allow'|'disallow', path_prefix, crawl_delay_ms)
+broadcast-joined to candidates; the longest matching prefix wins
+(standard robots longest-match semantics); no matching rule => allowed.
+
+Per-host budget: at most `budget(host)` URLs scheduled per round, where
+budget = wave_seconds*1000 / crawl_delay_ms (default delay when no
+rule). Enforced with a TWO-PHASE top-k to survive hot-host skew:
+
+  phase 1 (salted local cap): rank within (host, salt) where
+      salt = pmod(xxhash64(url), n_salts); keep rank <= budget.
+      Each shuffle key now carries at most 1/n_salts of a hot host's
+      rows, so no single task owns the whole host.
+  phase 2 (exact cap): rank within host over the <= n_salts*budget
+      survivors; keep rank <= budget.
+
+The exact pass sees a bounded row count per host regardless of how
+skewed the pending frontier is — this is *semantic* skew handling that
+AQE alone cannot provide (AQE splits data-size skew, but the politeness
+invariant is per-key, SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+DEFAULT_CRAWL_DELAY_MS = 1000
+
+
+def robots_filter(candidates: DataFrame, robots: DataFrame | None, url_col: str = "url") -> DataFrame:
+    """Drop candidates disallowed by robots rules (longest-prefix match).
+
+    `candidates` must have a `host` column. The rules table is tiny
+    (policy config), so the join is an explicit broadcast-hash join —
+    no shuffle of the frontier side.
+    """
+    if robots is None:
+        return candidates
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    cand = candidates.withColumn("_path", path)
+    rules = F.broadcast(
+        robots.select(
+            F.col("host").alias("_r_host"),
+            F.col("rule_type").alias("_r_type"),
+            F.col("path_prefix").alias("_r_prefix"),
+        )
+    )
+    joined = cand.join(rules, cand["host"] == rules["_r_host"], "left").withColumn(
+        "_match", F.col("_r_prefix").isNotNull() & F.col("_path").startswith(F.col("_r_prefix"))
+    )
+    # longest matching prefix per URL decides; no match ⇒ allowed
+    w = Window.partitionBy(url_col).orderBy(
+        F.desc("_match"), F.desc(F.length("_r_prefix"))
+    )
+    decided = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            "_allowed",
+            F.when(F.col("_match") & (F.col("_r_type") == "disallow"), F.lit(False)).otherwise(
+                F.lit(True)
+            ),
+        )
+        .filter(F.col("_allowed"))
+    )
+    return decided.select(*candidates.columns)
+
+
+def host_budgets(robots: DataFrame | None, wave_seconds: float = 60.0) -> DataFrame | None:
+    """Per-host max URLs per wave from crawl_delay_ms (min across rules)."""
+    if robots is None:
+        return None
+    return (
+        robots.groupBy("host")
+        .agg(F.min("crawl_delay_ms").alias("_delay_ms"))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(wave_seconds * 1000.0) / F.col("_delay_ms")),
+            )
+            .cast("int")
+            .alias("_budget"),
+        )
+    )
+
+
+def enforce_host_budget(
+    candidates: DataFrame,
+    budgets: DataFrame | None,
+    default_budget: int,
+    order_cols: list[str],
+    n_salts: int = 16,
+    url_col: str = "url",
+) -> DataFrame:
+    """Two-phase per-host top-k under (priority, seq) order (see module doc)."""
+    df = candidates
+    if budgets is not None:
+        df = df.join(F.broadcast(budgets), on="host", how="left")
+        df = df.withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(default_budget)))
+    else:
+        df = df.withColumn("_budget", F.lit(default_budget))
+
+    order = [F.col(c) for c in order_cols]
+    # phase 1: salted local cap — bounds any single shuffle key
+    df = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    df = df.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= F.col("_budget"))
+    # phase 2: exact cap over ≤ n_salts*budget survivors per host
+    w2 = Window.partitionBy("host").orderBy(*order)
+    df = df.withColumn("_r2", F.row_number().over(w2)).filter(F.col("_r2") <= F.col("_budget"))
+    return df.drop("_budget", "_salt", "_r1", "_r2")

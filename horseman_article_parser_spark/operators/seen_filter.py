@@ -1,0 +1,243 @@
+"""Distributed URL-seen filter (SURVEY §2.3 J1, §4 custom component #1).
+
+The reference keeps an in-process `Set` of seen URLs/hosts
+(/root/reference/scripts/batch-sample-run.js:72-77,
+ /root/reference/scripts/fetch-curated-urls.js:262-277). At a 10^10-URL
+frontier that set is ~12 GB of bloom bits — too big to broadcast, so it
+is SHARDED by url-hash: shard_id = pmod(xxhash64(url), P). A probe (or
+test-and-set) shuffles candidate links once, on shard_id, and each task
+touches only its own shard's bitmap, read directly from the checkpoint
+store. State versions are tracked by an Iceberg-style manifest (a JSON
+snapshot mapping shard → data file), so untouched shards are carried
+forward by reference, never rewritten — the same trick Iceberg
+manifests use to avoid rewriting unchanged data files.
+
+Two modes:
+- exact  — append-only parquet of seen URLs; probe = left-anti join.
+           Used by correctness fixtures (zero false positives).
+- bloom  — numpy bitmaps, k hash probes derived from two JVM-computed
+           xxhash64 values (Kirsch-Mitzenmacher double hashing). A
+           false positive drops a genuinely-new URL (never crawled);
+           the FP rate is measured against exact mode in tests.
+
+All per-row work is vectorized numpy inside Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_H1, _H2, _SHARD = "_seen_h1", "_seen_h2", "_seen_shard"
+
+
+def with_seen_hashes(df: DataFrame, url_col: str, n_shards: int) -> DataFrame:
+    """Attach JVM-side (whole-stage-codegen) hash columns for probing."""
+    u = F.col(url_col)
+    return (
+        df.withColumn(_H1, F.xxhash64(u))
+        .withColumn(_H2, F.xxhash64(u, F.lit(0x9E3779B9)))
+        .withColumn(_SHARD, F.pmod(F.col(_H1), F.lit(n_shards)).cast("int"))
+    )
+
+
+def _bit_positions(h1: np.ndarray, h2: np.ndarray, k: int, n_bits: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing; unsigned-mod arithmetic."""
+    u1 = h1.astype(np.uint64)
+    u2 = h2.astype(np.uint64) | np.uint64(1)  # force odd so probes differ
+    ks = np.arange(k, dtype=np.uint64)[None, :]
+    return ((u1[:, None] + ks * u2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+
+
+def _probe_bitmap(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """True where ALL k bits are set (bloom 'maybe seen')."""
+    bytes_idx = pos >> 3
+    masks = np.left_shift(1, (pos & 7).astype(np.uint8)).astype(np.uint8)
+    return ((bitmap[bytes_idx] & masks) == masks).all(axis=1)
+
+
+def _set_bits(bitmap: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.ravel()
+    np.bitwise_or.at(bitmap, flat >> 3, np.left_shift(1, (flat & 7).astype(np.uint8)).astype(np.uint8))
+
+
+class BloomSeenFilter:
+    """Sharded, versioned bloom URL-seen filter over a checkpoint dir."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        n_shards: int = 32,
+        total_bits: int = 1 << 24,
+        k: int = 7,
+    ):
+        self.store_dir = store_dir
+        self.n_shards = n_shards
+        self.bits_per_shard = max(64, total_bits // n_shards)
+        self.k = k
+        self.version = -1
+        os.makedirs(os.path.join(store_dir, "bloom", "data"), exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.store_dir, "bloom", f"manifest_v{version}.json")
+
+    def _read_manifest(self, version: int) -> dict[str, str]:
+        if version < 0:
+            return {}
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)["shards"]
+
+    def _commit_manifest(self, version: int, shards: dict[str, str]) -> None:
+        payload = {
+            "version": version,
+            "n_shards": self.n_shards,
+            "bits_per_shard": self.bits_per_shard,
+            "k": self.k,
+            "shards": shards,
+        }
+        path = self._manifest_path(version)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)  # atomic snapshot commit
+
+    def latest_version(self) -> int:
+        base = os.path.join(self.store_dir, "bloom")
+        versions = [
+            int(name[len("manifest_v"):-len(".json")])
+            for name in os.listdir(base)
+            if name.startswith("manifest_v")
+        ]
+        return max(versions, default=-1)
+
+    def resume(self) -> None:
+        self.version = self.latest_version()
+
+    # ------------------------------------------------------------- ops
+
+    def claim_unseen(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Atomic test-and-set: returns rows whose URL was not seen, and
+        commits a new state version with those URLs inserted.
+
+        One shuffle (on shard_id); each task loads, probes, updates and
+        writes only its own shards. Rows are deduplicated within the
+        batch first (first occurrence by hash order is irrelevant —
+        callers dedup by their own ordering before calling).
+        """
+        spark = df.sparkSession
+        in_cols = df.columns
+        hashed = with_seen_hashes(df, url_col, self.n_shards)
+        manifest = self._read_manifest(self.version)
+        new_version = self.version + 1
+        data_dir = os.path.join(self.store_dir, "bloom", "data")
+        bits_per_shard, k = self.bits_per_shard, self.k
+
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in hashed.schema.fields
+        )
+
+        def tas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for shard_id, grp in pdf.groupby(_SHARD, sort=True):
+                shard_key = str(int(shard_id))
+                path = manifest.get(shard_key)
+                if path is not None and os.path.exists(path):
+                    bitmap = np.fromfile(path, dtype=np.uint8).copy()
+                else:
+                    bitmap = np.zeros(bits_per_shard // 8 + 1, dtype=np.uint8)
+                pos = _bit_positions(
+                    grp[_H1].values.astype(np.int64),
+                    grp[_H2].values.astype(np.int64),
+                    k,
+                    bits_per_shard,
+                )
+                seen = _probe_bitmap(bitmap, pos)
+                unseen = grp.loc[~seen]
+                if len(unseen):
+                    _set_bits(bitmap, pos[~seen])
+                    new_path = os.path.join(
+                        data_dir, f"v{new_version}_shard_{shard_key}.bin"
+                    )
+                    fd, tmp = tempfile.mkstemp(dir=data_dir)
+                    with os.fdopen(fd, "wb") as f:
+                        bitmap.tofile(f)
+                    os.replace(tmp, new_path)
+                    yield unseen
+
+        result = (
+            hashed.repartition(self.n_shards, F.col(_SHARD))
+            .mapInPandas(tas, schema=out_schema)
+            .select(*in_cols)
+        )
+        # Materialize now: the state mutation must happen-before manifest
+        # commit (this is the micro-batch barrier, like a streaming epoch).
+        result = result.localCheckpoint(eager=True)
+        shards = dict(manifest)
+        for shard_id in range(self.n_shards):
+            candidate = os.path.join(data_dir, f"v{new_version}_shard_{shard_id}.bin")
+            if os.path.exists(candidate):
+                shards[str(shard_id)] = candidate
+        self._commit_manifest(new_version, shards)
+        self.version = new_version
+        _ = spark  # session kept for API symmetry
+        return result
+
+
+class ExactSeenFilter:
+    """Exact URL-seen set: append-only parquet deltas + anti-join probe.
+
+    Correctness twin of the bloom filter (fixtures + FP measurement).
+    At scale the deltas would be an Iceberg table bucketed by
+    hash(url) so the anti-join is co-partitioned (no re-shuffle).
+    """
+
+    def __init__(self, store_dir: str):
+        self.store_dir = os.path.join(store_dir, "exact_seen")
+        self.version = -1
+        os.makedirs(self.store_dir, exist_ok=True)
+
+    def resume(self) -> None:
+        versions = [
+            int(name[1:]) for name in os.listdir(self.store_dir) if name.startswith("v")
+        ]
+        self.version = max(versions, default=-1)
+
+    def _seen_df(self, spark: SparkSession) -> DataFrame | None:
+        paths = [
+            os.path.join(self.store_dir, f"v{i}") for i in range(self.version + 1)
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def claim_unseen(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        spark = df.sparkSession
+        seen = self._seen_df(spark)
+        if seen is not None:
+            unseen = df.join(
+                seen.withColumnRenamed("url", url_col).select(url_col),
+                on=url_col,
+                how="left_anti",
+            )
+        else:
+            unseen = df
+        unseen = unseen.localCheckpoint(eager=True)
+        new_version = self.version + 1
+        unseen.select(F.col(url_col).alias("url")).write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, f"v{new_version}")
+        )
+        self.version = new_version
+        return unseen

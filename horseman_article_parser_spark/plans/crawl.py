@@ -1,0 +1,258 @@
+"""The crawl scheduler: round-based frontier → fetch wave → link
+expansion, with politeness, URL-seen dedup, metrics and exact resume.
+
+This is the north-rule core. Round 0 reproduces the reference's
+scheduling order exactly (uniq → uniqueByHost(limit) → FIFO by seed
+position, /root/reference/scripts/batch-sample-run.js:281-283,315-319 —
+verified by tests against a pure-Python reimplementation). Rounds ≥1
+implement the north rule's extension the reference lacks: links
+extracted in-article are canonicalized, hashed, bloom-deduped and
+enqueued with priority = link_depth + in_article_link_score, emitted in
+deterministic (priority, seq) order under per-host politeness budgets.
+
+Scale shape of one round (what the plan compiles to):
+  pending scan (parquet, host-bucketed)            — no shuffle
+  robots broadcast join                            — no shuffle
+  two-phase host budget                            — 2 window shuffles,
+                                                      salt-bounded keys
+  top-k wave (orderBy+limit = TakeOrdered)         — per-partition top-k
+  fetch + extract (mapInPandas)                    — 1 Arrow crossing
+  link canonicalize + skip filter (codegen + UDF)  — narrow
+  in-batch dedup groupBy(target)                   — 1 shuffle
+  seen-filter test-and-set (shard shuffle)         — 1 shuffle
+  seq assignment (range-partitioned rank)          — 1 range shuffle
+  pending' = pending ⟕̸ wave ∪ new                  — anti-join shuffle
+
+Every per-row computation is a vectorized pandas/Arrow UDF; all
+predicates/windows/joins are JVM-side (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..datagen.synthweb import fetch_page
+from ..functions.urls import canonicalize_url_udf, skip_col
+from ..operators.extract import extract_articles
+from ..operators.frontier_ops import (
+    build_wave0,
+    ordered_zip_with_index,
+    with_host,
+)
+from ..operators.politeness import (
+    enforce_host_budget,
+    host_budgets,
+    robots_filter,
+)
+from ..operators.seen_filter import BloomSeenFilter, ExactSeenFilter
+from .checkpoint import CrawlStore
+
+# seq values for round r live in [r*SEQ_STRIDE, (r+1)*SEQ_STRIDE)
+SEQ_STRIDE = 1 << 40
+
+
+@dataclass
+class CrawlConfig:
+    wave_size: int = 100
+    round0_limit: int = 100
+    unique_hosts_round0: bool = True
+    default_host_budget: int = 4
+    n_salts: int = 16
+    seen_mode: str = "bloom"  # "bloom" | "exact"
+    n_shards: int = 32
+    total_bloom_bits: int = 1 << 24
+    max_depth: int = 8
+    n_hosts: int = 50
+    fetch_partitions: int | None = None
+    extra: dict = field(default_factory=dict)
+
+
+FRONTIER_COLS = ["url", "seq", "host", "depth", "priority"]
+
+
+class CrawlScheduler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        config: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+        fetch_fn: Callable[[str], tuple[int, str]] | None = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.store = CrawlStore(store_dir)
+        self.robots = robots
+        self.budgets = host_budgets(robots)
+        self.fetch_fn = fetch_fn or fetch_page
+        if self.config.seen_mode == "bloom":
+            self.seen = BloomSeenFilter(
+                store_dir,
+                n_shards=self.config.n_shards,
+                total_bits=self.config.total_bloom_bits,
+            )
+        else:
+            self.seen = ExactSeenFilter(store_dir)
+
+    # ------------------------------------------------------------ setup
+
+    def init_from_seeds(self, seeds: DataFrame) -> None:
+        """Round -1: build the initial pending frontier with the
+        reference's wave-0 candidate chain, claim them in the seen set.
+
+        Seeds filtered out by uniq/uniqueByHost are dropped, exactly as
+        the reference drops them (they are never re-queued there)."""
+        cfg = self.config
+        wave0 = build_wave0(seeds, cfg.round0_limit, cfg.unique_hosts_round0)
+        pending = wave0.select(
+            "url",
+            "seq",
+            "host",
+            F.lit(0).alias("depth"),
+            F.lit(0.0).alias("priority"),
+        )
+        claimed = self.seen.claim_unseen(pending)
+        self.store.write(claimed, "pending", -1)
+        self.store.commit_round(-1)
+
+    def resume(self) -> int:
+        """Return the next round to run, restoring seen-filter state."""
+        last = self.store.last_round()
+        if hasattr(self.seen, "resume"):
+            self.seen.resume()
+        return last + 1
+
+    # ------------------------------------------------------------ round
+
+    def _fetch(self, wave: DataFrame) -> DataFrame:
+        fetch_fn = self.fetch_fn
+        parts = self.config.fetch_partitions or self.spark.sparkContext.defaultParallelism
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in wave.schema.fields
+        ) + ", `status` int, `html` string"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pdf = pdf.copy()
+                results = [fetch_fn(u) for u in pdf["url"]]
+                pdf["status"] = [r[0] for r in results]
+                pdf["html"] = [r[1] for r in results]
+                yield pdf
+
+        return wave.repartition(parts).mapInPandas(run, schema=schema)
+
+    def run_round(self, round_no: int) -> dict:
+        cfg = self.config
+        spark = self.spark
+        t0 = time.monotonic()
+        pending = self.store.read(spark, "pending", round_no - 1)
+
+        # --- wave selection: robots → politeness budget → global top-k
+        candidates = robots_filter(pending, self.robots)
+        polite = enforce_host_budget(
+            candidates,
+            self.budgets,
+            cfg.default_host_budget,
+            order_cols=["priority", "seq"],
+            n_salts=cfg.n_salts,
+        )
+        wave = polite.orderBy("priority", "seq").limit(cfg.wave_size)
+        wave = ordered_zip_with_index(wave, ["priority", "seq"], out_col="pos")
+        wave = wave.persist()
+        self.store.write(wave.orderBy("pos"), "waves", round_no)
+
+        # --- fetch + extract (one Arrow crossing each)
+        fetched = self._fetch(wave)
+        articles = extract_articles(fetched).persist()
+        self.store.write(articles.drop("html"), "results", round_no)
+
+        # --- link expansion → canonicalize → filter → dedup → claim
+        links = articles.filter(F.col("status") == 200).select(
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            F.posexplode_outer("article.links").alias("pos", "link"),
+        )
+        links = links.withColumn("target", canonicalize_url_udf(F.col("link.href")))
+        links = links.filter(
+            F.col("target").isNotNull()
+            & ~skip_col(F.col("target"))
+            & (F.col("parent_depth") < cfg.max_depth)
+        )
+        n_extracted = links.count()
+        # in-batch first-occurrence dedup: keep the earliest (parent_seq, pos)
+        dedup = links.groupBy("target").agg(
+            F.min(F.struct("parent_seq", "pos", "parent_depth")).alias("first")
+        )
+        dedup = dedup.select(
+            F.col("target").alias("url"),
+            F.col("first.parent_seq").alias("parent_seq"),
+            F.col("first.pos").alias("pos"),
+            (F.col("first.parent_depth") + 1).alias("depth"),
+        )
+        new_rows = self.seen.claim_unseen(dedup)
+        # deterministic seq for the next generation (scalable ranked index)
+        new_rows = ordered_zip_with_index(
+            new_rows, ["parent_seq", "pos", "url"], out_col="_idx"
+        )
+        new_frontier = with_host(
+            new_rows.select(
+                "url",
+                (F.lit((round_no + 1) * SEQ_STRIDE) + F.col("_idx")).alias("seq"),
+                F.col("depth").cast("int"),
+                # north rule: priority = link_depth + in-article link score
+                (
+                    F.col("depth")
+                    + F.least(F.col("pos"), F.lit(9)).cast("double") / 10.0
+                ).alias("priority"),
+            )
+        ).select(*FRONTIER_COLS)
+
+        # --- next pending = (pending − wave) ∪ new
+        remaining = pending.join(wave.select("url"), on="url", how="left_anti")
+        next_pending = remaining.select(*FRONTIER_COLS).unionByName(new_frontier)
+        self.store.write(next_pending, "pending", round_no)
+
+        # --- metrics: per-host aggregate (A1) + lineage counts
+        n_new = new_frontier.count()
+        metrics = (
+            articles.groupBy("host")
+            .agg(
+                F.count("*").alias("scheduled"),
+                F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+            )
+            .withColumn("round", F.lit(round_no))
+        )
+        self.store.write(metrics, "metrics", round_no)
+        self.store.commit_round(round_no)
+
+        wave_count = wave.count()
+        wave.unpersist()
+        articles.unpersist()
+        return {
+            "round": round_no,
+            "scheduled": wave_count,
+            "links_extracted": n_extracted,
+            "new_urls": n_new,
+            "seconds": time.monotonic() - t0,
+        }
+
+    def run(self, n_rounds: int, seeds: DataFrame | None = None) -> list[dict]:
+        start = self.resume()
+        if self.store.last_round() < -1:  # empty store: needs seeding
+            if seeds is None:
+                raise ValueError("store is empty; pass seeds or init_from_seeds first")
+            self.init_from_seeds(seeds)
+            start = 0
+        stats = []
+        for r in range(start, n_rounds):
+            stats.append(self.run_round(r))
+        return stats

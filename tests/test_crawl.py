@@ -1,0 +1,104 @@
+"""End-to-end crawl parity: the distributed scheduler's per-round
+scheduled order must EXACTLY match the pure-Python reference simulator
+under the same seed list + politeness budget (north rule), and resume
+from checkpoint must continue identically."""
+
+import pyspark.sql.functions as F
+
+from horseman_article_parser_spark.datagen.frontier import build_seed_frontier, seed_urls
+from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+from horseman_article_parser_spark.plans.reference_sim import sim_crawl
+
+N_SEEDS = 120
+ROUND0 = 40
+WAVE = 30
+BUDGET = 3
+N_ROUNDS = 3
+
+
+def _spark_waves(scheduler, spark, n_rounds):
+    waves = []
+    for r in range(n_rounds):
+        wave = scheduler.store.read(spark, "waves", r)
+        waves.append([x["url"] for x in wave.orderBy("pos").collect()])
+    return waves
+
+
+def _expected_waves():
+    return sim_crawl(
+        seed_urls(N_SEEDS),
+        n_rounds=N_ROUNDS,
+        wave_size=WAVE,
+        round0_limit=ROUND0,
+        default_host_budget=BUDGET,
+    )
+
+
+def test_multiround_crawl_order_matches_sim_exact_seen(spark, tmp_store):
+    cfg = CrawlConfig(
+        wave_size=WAVE,
+        round0_limit=ROUND0,
+        default_host_budget=BUDGET,
+        seen_mode="exact",
+    )
+    sched = CrawlScheduler(spark, tmp_store, cfg)
+    seeds = build_seed_frontier(spark, N_SEEDS)
+    stats = sched.run(N_ROUNDS, seeds=seeds)
+    assert len(stats) == N_ROUNDS
+    got = _spark_waves(sched, spark, N_ROUNDS)
+    expected = _expected_waves()
+    for r in range(N_ROUNDS):
+        assert got[r] == expected[r], f"round {r} order mismatch"
+
+
+def test_crawl_resume_is_exact(spark, tmp_store):
+    cfg = CrawlConfig(
+        wave_size=WAVE,
+        round0_limit=ROUND0,
+        default_host_budget=BUDGET,
+        seen_mode="exact",
+    )
+    sched1 = CrawlScheduler(spark, tmp_store, cfg)
+    seeds = build_seed_frontier(spark, N_SEEDS)
+    sched1.run(2, seeds=seeds)  # rounds 0-1, then "crash"
+
+    sched2 = CrawlScheduler(spark, tmp_store, cfg)  # fresh process
+    stats = sched2.run(N_ROUNDS)  # resumes at round 2
+    assert [s["round"] for s in stats] == [2]
+    got = _spark_waves(sched2, spark, N_ROUNDS)
+    expected = _expected_waves()
+    for r in range(N_ROUNDS):
+        assert got[r] == expected[r], f"round {r} post-resume mismatch"
+
+
+def test_bloom_mode_matches_exact_at_low_load(spark, tmp_store):
+    # with a roomy bloom filter, FP≈0 ⇒ identical schedule to exact mode
+    cfg = CrawlConfig(
+        wave_size=WAVE,
+        round0_limit=ROUND0,
+        default_host_budget=BUDGET,
+        seen_mode="bloom",
+        n_shards=8,
+        total_bloom_bits=1 << 22,
+    )
+    sched = CrawlScheduler(spark, tmp_store, cfg)
+    sched.run(N_ROUNDS, seeds=build_seed_frontier(spark, N_SEEDS))
+    got = _spark_waves(sched, spark, N_ROUNDS)
+    expected = _expected_waves()
+    for r in range(N_ROUNDS):
+        assert got[r] == expected[r], f"round {r} bloom mismatch"
+
+
+def test_metrics_and_results_written(spark, tmp_store):
+    cfg = CrawlConfig(
+        wave_size=WAVE, round0_limit=ROUND0, default_host_budget=BUDGET, seen_mode="exact"
+    )
+    sched = CrawlScheduler(spark, tmp_store, cfg)
+    sched.run(1, seeds=build_seed_frontier(spark, N_SEEDS))
+    metrics = sched.store.read(spark, "metrics", 0)
+    assert metrics.agg(F.sum("scheduled")).first()[0] == WAVE
+    results = sched.store.read(spark, "results", 0)
+    ok = results.filter(F.col("status") == 200)
+    assert ok.count() > 0
+    # extracted structs are populated for 200s
+    assert ok.filter(F.col("article.title").isNotNull()).count() == ok.count()

@@ -1,0 +1,102 @@
+"""The image+caption payload table (BASELINE.json input_hint): schema,
+distributed deterministic generation, and the per-row decoded-pixel
+PSNR≥40dB + caption-equality invariant via an Arrow-batched UDF."""
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from horseman_article_parser_spark.codecs.images import decode_image, psnr
+from horseman_article_parser_spark.datagen.images import (
+    IMAGES_SCHEMA,
+    build_images_table,
+    caption_for,
+    synth_pixels,
+)
+
+N = 64
+
+
+def test_schema_matches_input_hint(spark):
+    df = build_images_table(spark, 4)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("image_id", "string"),
+        ("bytes", "binary"),
+        ("w", "int"),
+        ("h", "int"),
+        ("fmt", "string"),
+        ("caption", "string"),
+        ("phash", "bigint"),
+    ]
+    assert df.schema == IMAGES_SCHEMA
+
+
+def test_generation_deterministic_across_partitionings(spark):
+    a = build_images_table(spark, N, partitions=2).orderBy("image_id").collect()
+    b = build_images_table(spark, N, partitions=8).orderBy("image_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["image_id"] == rb["image_id"]
+        assert bytes(ra["bytes"]) == bytes(rb["bytes"])
+        assert ra["phash"] == rb["phash"]
+
+
+def test_decoded_pixel_and_caption_invariants(spark):
+    """The input_hint invariant, run AS a Spark plan: decode every row's
+    bytes executor-side, compare to the reference pixels, assert
+    PSNR≥40dB (lossy) / exact (png) + caption equality."""
+    df = build_images_table(spark, N, partitions=4)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                idx = int(row["image_id"].split("-")[1])
+                expected, w, h = synth_pixels(idx)
+                got = decode_image(bytes(row["bytes"]))
+                exact = bool((got == expected).all())
+                p = float("inf") if exact else psnr(expected, got)
+                out.append(
+                    {
+                        "image_id": row["image_id"],
+                        "fmt": row["fmt"],
+                        "shape_ok": got.shape == (h, w, 3),
+                        "exact": exact,
+                        "psnr_ok": p >= 40.0,
+                        "caption_ok": row["caption"] == caption_for(idx),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    res = df.mapInPandas(
+        verify,
+        schema="image_id string, fmt string, shape_ok boolean, exact boolean, "
+        "psnr_ok boolean, caption_ok boolean",
+    )
+    rows = res.collect()
+    assert len(rows) == N
+    for r in rows:
+        assert r["shape_ok"] and r["caption_ok"], r
+        if r["fmt"] == "png":
+            assert r["exact"], r  # lossless: exact
+        else:
+            assert r["psnr_ok"], r  # lossy: PSNR ≥ 40 dB
+
+
+def test_bytes_pruned_from_metadata_scans(spark, tmp_store):
+    """Scale hygiene (SURVEY §7.3): metadata queries over the payload
+    table must never read the `bytes` column — column pruning has to
+    reach the parquet scan (ReadSchema excludes bytes)."""
+    path = f"{tmp_store}/images_parquet"
+    build_images_table(spark, 16, partitions=2).write.parquet(path)
+    agg = (
+        spark.read.parquet(path)
+        .filter(F.col("fmt") == "png")
+        .groupBy("w", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
+    assert "bytes" not in read_schema, read_schema
+    assert "PushedFilters: [" in scan  # fmt filter reaches the scan

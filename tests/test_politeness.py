@@ -1,0 +1,62 @@
+"""Politeness: robots longest-prefix evaluation, per-host budgets under
+the two-phase salted top-k, hot-host skew (SURVEY §2.9 T2, north rule)."""
+
+import pyspark.sql.functions as F
+
+from horseman_article_parser_spark.operators.politeness import (
+    enforce_host_budget,
+    host_budgets,
+    robots_filter,
+)
+
+
+def _cand(spark, rows):
+    return spark.createDataFrame(rows, ["url", "seq", "host", "depth", "priority"])
+
+
+def test_robots_longest_prefix(spark):
+    cands = _cand(
+        spark,
+        [
+            ("https://h1.x/private/a", 0, "h1.x", 0, 0.0),
+            ("https://h1.x/private/open/b", 1, "h1.x", 0, 0.0),
+            ("https://h1.x/public/c", 2, "h1.x", 0, 0.0),
+            ("https://h2.x/private/d", 3, "h2.x", 0, 0.0),
+        ],
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h1.x", "disallow", "/private", 1000),
+            ("h1.x", "allow", "/private/open", 1000),
+        ],
+        ["host", "rule_type", "path_prefix", "crawl_delay_ms"],
+    )
+    got = {r["url"] for r in robots_filter(cands, robots).collect()}
+    assert got == {
+        "https://h1.x/private/open/b",  # longer allow overrides disallow
+        "https://h1.x/public/c",
+        "https://h2.x/private/d",  # no rules for h2 → allowed
+    }
+
+
+def test_host_budgets_from_crawl_delay(spark):
+    robots = spark.createDataFrame(
+        [("h1.x", "disallow", "/x", 30000), ("h2.x", "allow", "/", 500)],
+        ["host", "rule_type", "path_prefix", "crawl_delay_ms"],
+    )
+    got = {r["host"]: r["_budget"] for r in host_budgets(robots, wave_seconds=60).collect()}
+    assert got == {"h1.x": 2, "h2.x": 120}
+
+
+def test_budget_enforced_with_hot_host_skew(spark):
+    # hot host owns 85% of candidates (FIXTURES.md §5 hot_hosts)
+    rows = [(f"https://hot.x/p-{i}", i, "hot.x", 0, 0.0) for i in range(850)]
+    rows += [(f"https://h{i % 20}.x/p-{i}", 1000 + i, f"h{i % 20}.x", 0, 0.0) for i in range(150)]
+    cands = _cand(spark, rows)
+    out = enforce_host_budget(cands, None, default_budget=5, order_cols=["priority", "seq"])
+    counts = {r["host"]: r["n"] for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts["hot.x"] == 5
+    assert all(v <= 5 for v in counts.values())
+    # exact top-budget rows in (priority, seq) order survive
+    hot = {r["seq"] for r in out.filter(F.col("host") == "hot.x").collect()}
+    assert hot == {0, 1, 2, 3, 4}

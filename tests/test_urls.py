@@ -1,0 +1,71 @@
+"""URL predicate parity: the JVM column expressions must agree with the
+pure-Python scalar functions (which define the semantics, mirroring
+skipUrl / keepLikelyArticles / URL normalization in the reference)."""
+
+import pyspark.sql.functions as F
+
+from horseman_article_parser_spark.datagen.frontier import seed_urls
+from horseman_article_parser_spark.functions.urls import (
+    amp_candidates,
+    canonicalize_url,
+    canonicalize_url_udf,
+    keep_likely_article,
+    keep_likely_article_col,
+    skip_col,
+    skip_reason,
+)
+
+CORPUS = [
+    "https://example.com/2024/05/city-council-vote-12",
+    "http://EXAMPLE.com:80/a",
+    "https://example.com:8443/x-y",
+    "https://news.example.org/live/updates",
+    "https://news.example.org/video/clip-1",
+    "https://example.com/files/report.pdf",
+    "https://example.com/files/archive.ZIP",
+    "ftp://example.com/pub",
+    "mailto:tips@example.com",
+    "https://lists.ding.net/pipermail/x",
+    "https://www.aljazeera.com/gallery/2024/photos",
+    "https://example.com/",
+    "https://example.com/news",
+    "https://example.com/some-long-slug-here",
+    "https://example.com/s",
+    "https://example.com/a/b",
+    "https://example.com/feed.xml",
+    "https://example.com/2024/5/dated",
+] + seed_urls(80, seed=7)
+
+
+def test_canonicalize_scalar():
+    assert canonicalize_url("HTTPS://Ex.COM:443/p?q=1#f") == "https://ex.com/p?q=1"
+    assert canonicalize_url("http://ex.com:80/") == "http://ex.com/"
+    assert canonicalize_url("http://ex.com:8080/x") == "http://ex.com:8080/x"
+    assert canonicalize_url("http://ex.com") == "http://ex.com/"
+    assert canonicalize_url("not a url") is None
+    assert canonicalize_url(None) is None
+
+
+def test_amp_candidates_shape():
+    got = amp_candidates("https://ex.com/story?id=2")
+    assert got == [
+        "https://ex.com/story/amp",
+        "https://ex.com/story/amp.html",
+        "https://ex.com/story?id=2&amp=1",
+        "https://ex.com/story?id=2&output=amp",
+    ]
+
+
+def test_skip_and_keep_column_parity(spark):
+    df = spark.createDataFrame([(u,) for u in CORPUS], ["url"])
+    rows = df.select(
+        "url",
+        skip_col(F.col("url")).alias("skip"),
+        keep_likely_article_col(F.col("url")).alias("keep"),
+        canonicalize_url_udf(F.col("url")).alias("canon"),
+    ).collect()
+    for r in rows:
+        want_skip = skip_reason(r["url"]) is not None
+        assert bool(r["skip"]) == want_skip, f"skip mismatch: {r['url']}"
+        assert bool(r["keep"]) == keep_likely_article(r["url"]), f"keep mismatch: {r['url']}"
+        assert r["canon"] == canonicalize_url(r["url"]), f"canon mismatch: {r['url']}"
