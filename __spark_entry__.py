@@ -1,38 +1,1238 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator surface (SURVEY.md §2 +
+training-pipeline ops) over the driver's parquet tables; `oracle_sql()`
+gives the DuckDB-equivalent ANSI SQL for each. Crawl-specific operators
+run over URL frontiers synthesized *deterministically from the driver
+tables themselves* (both engines build the identical frontier from
+`documents`), so every frontier op has an exact relational oracle.
+
+Cross-engine parity rules used throughout (see
+horseman_article_parser_spark/functions/hashing.py):
+- hashing = md5 → first 8 hex → uint32 (portable, JVM-side in Spark)
+- money/score floats → bigint via round(x * 10^k) BEFORE aggregation
+  where exactness matters (identical IEEE inputs ⇒ identical bigints)
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default
+- timestamps compared as epoch-second bigints; session TZ pinned UTC
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from horseman_article_parser_spark.functions.hashing import (
+    MINHASH_P,
+    h32,
+    h32_sql,
+    minhash_params,
+    universal_hash_sql,
+)
+from horseman_article_parser_spark.functions import textstats as TS
+from horseman_article_parser_spark.functions.urls import (
+    amp_candidates_udf,
+    canonicalize_url_udf,
+    keep_likely_article_col,
+    skip_col,
+)
+from horseman_article_parser_spark.operators import dedup as DD
+from horseman_article_parser_spark.operators import frontier_ops as FO
+from horseman_article_parser_spark.operators import politeness as PO
+from horseman_article_parser_spark.operators import similarity as SIM
+from horseman_article_parser_spark.operators.extract import extract_articles
+from horseman_article_parser_spark.session import _ship_package
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # driver already importable (repo cwd); UDFs still resolve
+    return spark
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# synthesized frontier (identical construction on both engines)
+# ---------------------------------------------------------------------------
+
+FRONTIER_CTE = """
+frontier AS (
+  SELECT doc_id AS seq,
+         'https://' || source || '.example.com/' || lang || '/story-' || (doc_id % 400) AS url,
+         source || '.example.com' AS host
+  FROM documents
+)
+""".strip()
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("seq"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/story-"),
+            (F.col("doc_id") % 400).cast("string"),
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+    )
+
+
+# messy-URL table for canonicalization / skip / likely-article predicates
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(".pdf"))
+        .when(F.col("doc_id") % 7 == 1, F.lit(".zip"))
+        .when(F.col("doc_id") % 7 == 2, F.lit(".mp4"))
+        .otherwise(F.lit(".html"))
+    )
+    scheme = F.when(F.col("doc_id") % 11 == 0, F.lit("ftp")).otherwise(F.lit("https"))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/p/f"), F.col("doc_id").cast("string"), ext,
+        ).alias("url"),
+    )
+
+
+MESSY_CTE = """
+messy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 11 = 0 THEN 'ftp' ELSE 'https' END)
+         || '://h' || (doc_id % 20) || '.example.com/p/f' || doc_id
+         || (CASE doc_id % 7 WHEN 0 THEN '.pdf' WHEN 1 THEN '.zip'
+             WHEN 2 THEN '.mp4' ELSE '.html' END) AS url
+  FROM documents
+)
+""".strip()
+
+
+def _path_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("/"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("/news"))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("/2024/05/some-story-"), d))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("/video/clip-"), d))
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("/politics/long-analysis-piece-"), d))
+        .otherwise(F.lit("/feed.xml"))
+    )
+    return docs.select(
+        "doc_id", F.concat(F.lit("https://paper.example.com"), path).alias("url")
+    )
+
+
+PATHS_CTE = """
+paths AS (
+  SELECT doc_id,
+         'https://paper.example.com' ||
+         (CASE doc_id % 6
+            WHEN 0 THEN '/'
+            WHEN 1 THEN '/news'
+            WHEN 2 THEN '/2024/05/some-story-' || doc_id
+            WHEN 3 THEN '/video/clip-' || doc_id
+            WHEN 4 THEN '/politics/long-analysis-piece-' || doc_id
+            ELSE '/feed.xml' END) AS url
+  FROM documents
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# shared text-formula SQL renderings (the DuckDB side of textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def occ_sql(text: str, word: str) -> str:
+    """DuckDB rendering of textstats.occurrences_col (exact token count)."""
+    return (
+        f"CAST(len(list_filter(string_split_regex(trim({text}), '\\s+'),"
+        f" t -> t = '{word}')) AS BIGINT)"
+    )
+
+
+TOKCOUNT_SQL = "len(string_split_regex(trim(text), '\\s+'))"
+NORMTEXT_SQL = (
+    "lower(trim(regexp_replace(regexp_replace(text, '[^A-Za-z0-9À-￿]+', ' ', 'g'),"
+    " '\\s+', ' ', 'g')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: reference-order wave-0 schedule (uniq → uniqueByHost →
+    FIFO by seed position) over the sf0.001 synthesized frontier."""
+    _prep(spark)
+    wave0 = FO.build_wave0(_frontier(spark, "/root/testdata/sf0.001"), limit=50)
+    return FO.ordered_zip_with_index(wave0, ["seq"], out_col="pos").select(
+        "pos", "url", "host", "seq"
+    )
+
+
+# -- crawl / frontier --------------------------------------------------------
+
+
+def q_frontier_uniq(spark, sf_dir):
+    fr = _frontier(_prep(spark), sf_dir)
+    return FO.uniq(fr).select("url", "seq", "host")
+
+
+def q_frontier_unique_by_host(spark, sf_dir):
+    fr = _frontier(_prep(spark), sf_dir)
+    return FO.unique_by_host(FO.uniq(fr), limit=10).select("url", "seq", "host")
+
+
+def q_frontier_wave0(spark, sf_dir):
+    fr = _frontier(_prep(spark), sf_dir)
+    wave = FO.build_wave0(fr, limit=15)
+    return FO.ordered_zip_with_index(wave, ["seq"], out_col="pos").select(
+        "pos", "url", "host", "seq"
+    )
+
+
+def q_frontier_slice(spark, sf_dir):
+    fr = FO.uniq(_frontier(_prep(spark), sf_dir))
+    return FO.slice_frontier(fr, start=20, limit=30).select("url", "seq")
+
+
+def q_url_skip_filter(spark, sf_dir):
+    urls = _messy_urls(_prep(spark), sf_dir)
+    return urls.select(
+        "doc_id", "url", skip_col(F.col("url")).alias("skipped")
+    )
+
+
+def q_url_likely_articles(spark, sf_dir):
+    urls = _path_urls(_prep(spark), sf_dir)
+    return urls.filter(keep_likely_article_col(F.col("url"))).select("doc_id", "url")
+
+
+def q_url_canonicalize(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://H"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM:443/Path/"), F.col("doc_id").cast("string"),
+        F.lit("?q=1#frag"),
+    )
+    return docs.select(
+        "doc_id", canonicalize_url_udf(raw).alias("canonical")
+    )
+
+
+def q_amp_candidates(spark, sf_dir):
+    fr = _frontier(_prep(spark), sf_dir).filter(F.col("seq") < 50)
+    return fr.select(
+        "seq", F.posexplode(amp_candidates_udf(F.col("url"))).alias("variant", "candidate")
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    fr = _frontier(_prep(spark), sf_dir)
+    seen = fr.filter(F.col("seq") % 3 == 0).select("url")
+    return fr.join(seen, "url", "left_anti").select("url", "seq")
+
+
+def q_round_robin_interleave(spark, sf_dir):
+    fr = _frontier(_prep(spark), sf_dir).withColumn(
+        "feed", F.regexp_extract("host", r"^(src\d+)", 1)
+    )
+    out = FO.round_robin_interleave(fr, "feed", "seq", count=100)
+    return out.select("feed", "url", "seq", "rr_rank")
+
+
+def q_politeness_budget(spark, sf_dir):
+    fr = _frontier(_prep(spark), sf_dir).withColumn("priority", F.lit(0.0))
+    out = PO.enforce_host_budget(fr, None, default_budget=3, order_cols=["seq"])
+    return out.select("host", "url", "seq")
+
+
+def q_robots_filter(spark, sf_dir):
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/admin/x"), d))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/public/y"), d))
+        .otherwise(F.concat(F.lit("/story/z"), d))
+    )
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"), F.lit(".example.com"))
+    cand = docs.select(
+        F.col("doc_id").alias("seq"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.example.com", "disallow", "/admin", 1000),
+            ("h1.example.com", "disallow", "/", 1000),
+            ("h1.example.com", "allow", "/public", 1000),
+            ("h2.example.com", "disallow", "/story", 1000),
+        ],
+        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
+    )
+    return PO.robots_filter(cand, robots).select("seq", "url", "host")
+
+
+def q_domain_rules_join(spark, sf_dir):
+    """J2: first matching per-domain tweak rule (exact or suffix match),
+    priority order, broadcast join."""
+    spark = _prep(spark)
+    fr = FO.uniq(_frontier(spark, sf_dir))
+    rules = spark.createDataFrame(
+        [
+            ("src1.example.com", 1, "exact-src1"),
+            ("src2.example.com", 2, "exact-src2"),
+            ("example.com", 3, "suffix-any"),
+        ],
+        "match string, prio int, setting string",
+    )
+    joined = fr.join(
+        F.broadcast(rules),
+        (fr["host"] == rules["match"]) | fr["host"].endswith(F.concat(F.lit("."), rules["match"])),
+        "left",
+    )
+    w = Window.partitionBy("url").orderBy(F.asc_nulls_last("prio"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "seq", F.col("setting"))
+    )
+
+
+# -- extraction --------------------------------------------------------------
+
+
+def _synth_pages(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    fr = _frontier(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    img_html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<figure><img src="/img/'), d,
+            F.lit('.png" alt="alt text" width="64" height="32">'),
+            F.lit("<figcaption>Caption "), d, F.lit("</figcaption></figure>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d, F.lit(" | ExampleSite</title>"),
+        F.lit('<meta name="description" content="'), F.col("lang"), F.lit(' article">'),
+        F.lit('<meta property="og:title" content="OG Doc '), d, F.lit('">'),
+        F.lit("</head><body><article><h1>Heading</h1><p>"), F.col("text"),
+        F.lit('</p><a href="/next/'), (F.col("doc_id") + 1).cast("string"),
+        F.lit('">next</a><a href="https://ext.com/e'), d, F.lit('">ext</a>'),
+        img_html, F.lit("</article></body></html>"),
+    )
+    pages = docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id").select(
+        "doc_id", "url", html.alias("html")
+    )
+    return extract_articles(pages)
+
+
+def q_extract_title(spark, sf_dir):
+    arts = _synth_pages(_prep(spark), sf_dir)
+    return arts.select("doc_id", F.col("article.title").alias("title"),
+                       F.col("article.doc_title").alias("doc_title"))
+
+
+def q_extract_links(spark, sf_dir):
+    arts = _synth_pages(_prep(spark), sf_dir)
+    return arts.select(
+        "doc_id",
+        F.size("article.links").alias("n_links"),
+        F.element_at("article.links", 1)["href"].alias("first_href"),
+        F.element_at("article.links", 2)["text"].alias("second_text"),
+    )
+
+
+def q_extract_meta(spark, sf_dir):
+    arts = _synth_pages(_prep(spark), sf_dir)
+    return arts.select(
+        "doc_id",
+        F.size("article.meta").alias("n_meta"),
+        F.col("article.description").alias("description"),
+    )
+
+
+def q_extract_images(spark, sf_dir):
+    arts = _synth_pages(_prep(spark), sf_dir)
+    img1 = F.try_element_at(F.col("article.images"), F.lit(1))
+    return arts.select(
+        "doc_id",
+        F.size("article.images").alias("n_images"),
+        img1["src"].alias("src"),
+        img1["caption"].alias("caption"),
+        img1["width"].alias("width"),
+        img1["height"].alias("height"),
+    )
+
+
+def q_title_suffix_strip(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("Doc "), d,
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" | Example Site"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" - The Paper"))
+        .otherwise(F.lit("")),
+    )
+    from horseman_article_parser_spark.operators.extract import (
+        _TITLE_SUFFIX_1,
+        _TITLE_SUFFIX_2,
+    )
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw, _TITLE_SUFFIX_1.pattern, ""),
+            _TITLE_SUFFIX_2.pattern, "",
+        )
+    )
+    return docs.select("doc_id", stripped.alias("title"))
+
+
+# -- text analytics ----------------------------------------------------------
+
+
+def q_readability(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    cols = TS.readability_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_token_count(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count_col("text").cast("long").alias("n_tokens"),
+        TS.occurrences_col("text", "the").alias("n_the"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    cols = TS.quality_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_langid(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    en_score = None
+    for w in TS.LANG_MARKERS["en"]:
+        o = TS.occurrences_col("text", w)
+        en_score = o if en_score is None else en_score + o
+    return docs.select(
+        "doc_id",
+        TS.langid_col("text").alias("lang_pred"),
+        en_score.alias("en_score"),
+    )
+
+
+def q_sentiment(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    cols = TS.sentiment_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_sentiment_join(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return TS.sentiment_via_join(docs)
+
+
+def q_excerpt(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return docs.select("doc_id", TS.excerpt_col("text").alias("excerpt"))
+
+
+def q_keywords_topk(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return TS.keywords_topk(docs, k=10)
+
+
+def q_normalize_entity(spark, sf_dir):
+    part = _load(_prep(spark), sf_dir, "part")
+    return part.select(
+        "p_partkey", TS.normalize_text_col("p_name").alias("normalized")
+    )
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return DD.exact_dup_groups(docs)
+
+
+def q_bag_fingerprint(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return docs.select("doc_id", TS.bag_fingerprint_col("text").alias("bag_fp"))
+
+
+N_MINHASH = 8
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return DD.minhash_signatures(docs, n_hashes=N_MINHASH)
+
+
+def q_lsh_buckets(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, n_hashes=N_MINHASH)
+    return DD.lsh_band_buckets(sigs, bands=4, rows_per_band=2)
+
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return DD.simhash(docs, bits=SIMHASH_BITS)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    small = docs.filter(F.col("doc_id") < 40)
+    ids = small.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(small.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    out = DD.ngram_jaccard(small, pairs)
+    return out.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_x1e4"),
+    )
+
+
+# -- similarity search -------------------------------------------------------
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _load(_prep(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    out = SIM.cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_x1e6"),
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _load(_prep(spark), sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(SIM.l2_norm_col(F.col("embedding")) * 1_000_000).cast("long").alias("norm_x1e6"),
+    )
+
+
+ANN_PLANES = 8
+ANN_SEED = 7
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    emb = _load(_prep(spark), sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        SIM.hyperplane_bucket_col(F.col("embedding"), ANN_PLANES, ANN_SEED, 64).alias("bucket"),
+    )
+
+
+def q_label_centroids(spark, sf_dir):
+    emb = _load(_prep(spark), sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("d", "val"))
+        .groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("val").cast("double")) * 10000).cast("long").alias("mean_x1e4"))
+    )
+
+
+# -- events (streaming-shaped batch) ----------------------------------------
+
+
+def q_event_hourly(spark, sf_dir):
+    ev = _load(_prep(spark), sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _load(_prep(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_utc = F.col("ts").cast("timestamp")  # NTZ parquet → UTC instant
+    gap = F.unix_millis(ts_utc) - F.unix_millis(F.lag(ts_utc).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("start_epoch_ms"),
+    )
+
+
+def q_retry_backoff(spark, sf_dir):
+    """T5: linear backoff 1000·attempt ms re-queue schedule for failures
+    (/root/reference/scripts/batch-crawl.js:146-147)."""
+    ev = _load(_prep(spark), sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = ev.withColumn("attempt", F.row_number().over(w))
+    return out.select(
+        "event_id", "user_id", "attempt",
+        (F.unix_millis(F.col("ts").cast("timestamp")) + F.col("attempt") * 1000).alias("not_before_ms"),
+    )
+
+
+# -- relational breadth ------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _load(_prep(spark), sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_x100"),
+            F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("sum_disc_x100"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    orders = _load(_prep(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("price_x100"))
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    spark = _prep(spark)
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_x100"),
+        )
+    )
+
+
+def q_part_type_stats(spark, sf_dir):
+    spark = _prep(spark)
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+# -- end-to-end crawl (non-SQL-expressible: stateful multi-round) ------------
+
+
+def q_crawl_two_rounds(spark, sf_dir):
+    """Two scheduling rounds of the full crawl loop (synthetic web,
+    bloom seen-filter, politeness, priority waves) — rows-only check;
+    per-round order parity is pytest-verified against the reference
+    simulator (tests/test_crawl.py)."""
+    from horseman_article_parser_spark.datagen.frontier import build_seed_frontier
+    from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+
+    spark = _prep(spark)
+    store = tempfile.mkdtemp(prefix="crawl_q_")
+    cfg = CrawlConfig(wave_size=30, round0_limit=30, default_host_budget=2,
+                      n_shards=8, total_bloom_bits=1 << 20)
+    sched = CrawlScheduler(spark, store, cfg)
+    seeds = build_seed_frontier(spark, n=120)
+    sched.init_from_seeds(seeds)
+    sched.run_round(0)
+    sched.run_round(1)
+    w0 = sched.store.read(spark, "waves", 0).select("pos", "url", F.lit(0).alias("round"))
+    w1 = sched.store.read(spark, "waves", 1).select("pos", "url", F.lit(1).alias("round"))
+    return w0.unionByName(w1)
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal plumbing: synthesize the input_hint payload table
+    (image_id, bytes, w, h, fmt, caption, phash) and extract decoded
+    features — rows-only check; PSNR/caption invariants are pytest-gated."""
+    from horseman_article_parser_spark.datagen.images import build_images_table
+    from horseman_article_parser_spark.operators.multimodal import image_features
+
+    spark = _prep(spark)
+    images = build_images_table(spark, n=64)
+    feats = image_features(images)
+    return feats.join(images.select("image_id", "phash", "caption"), "image_id").select(
+        "image_id", "fmt", "decode_ok",
+        (F.col("phash_check") == F.col("phash")).alias("phash_match"),
+        "caption",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # crawl / frontier (SURVEY §2.2, §2.5 W8/W9, §2.3 J1/J2, §2.9 T2/T5)
+        "frontier_uniq": q_frontier_uniq,
+        "frontier_unique_by_host": q_frontier_unique_by_host,
+        "frontier_wave0": q_frontier_wave0,
+        "frontier_slice": q_frontier_slice,
+        "url_skip_filter": q_url_skip_filter,
+        "url_likely_articles": q_url_likely_articles,
+        "url_canonicalize": q_url_canonicalize,
+        "amp_candidates": q_amp_candidates,
+        "seen_antijoin": q_seen_antijoin,
+        "round_robin_interleave": q_round_robin_interleave,
+        "politeness_budget": q_politeness_budget,
+        "robots_filter": q_robots_filter,
+        "domain_rules_join": q_domain_rules_join,
+        # extraction (SURVEY §2.7 X12/X13/X17, §2.3 J6/J7, §2.5 W7)
+        "extract_title": q_extract_title,
+        "extract_links": q_extract_links,
+        "extract_meta": q_extract_meta,
+        "extract_images": q_extract_images,
+        "title_suffix_strip": q_title_suffix_strip,
+        # text analytics (SURVEY §2.4 A4/A9/A10, §2.7 X1/X8, §2.8 N1/N3)
+        "readability": q_readability,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "langid": q_langid,
+        "sentiment": q_sentiment,
+        "sentiment_join": q_sentiment_join,
+        "excerpt": q_excerpt,
+        "keywords_topk": q_keywords_topk,
+        "normalize_entity": q_normalize_entity,
+        # dedup (training-pipeline ops)
+        "dedup_exact": q_dedup_exact,
+        "bag_fingerprint": q_bag_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_buckets": q_lsh_buckets,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        # similarity search
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_norms": q_embedding_norms,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "label_centroids": q_label_centroids,
+        # events
+        "event_hourly": q_event_hourly,
+        "sessionize": q_sessionize,
+        "retry_backoff": q_retry_backoff,
+        # relational breadth
+        "pricing_summary": q_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "revenue_by_nation": q_revenue_by_nation,
+        "part_type_stats": q_part_type_stats,
+        # stateful / multimodal (rows-only checks)
+        "crawl_two_rounds": q_crawl_two_rounds,
+        "image_features": q_image_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sql() -> str:
+    params = minhash_params(N_MINHASH)
+    h = h32_sql("shingle")
+    mins = ",\n         ".join(
+        f"min({universal_hash_sql(h, a, b)}) AS mh{j}" for j, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {NORMTEXT_SQL} AS nt FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(nt, i, 8) AS shingle
+  FROM norm, unnest(generate_series(1, greatest(length(nt) - 7, 1), 4)) AS t(i)
+)
+SELECT doc_id, {mins}
+FROM sh GROUP BY doc_id
+""".strip()
+
+
+def _lsh_buckets_sql() -> str:
+    sig = _minhash_sql()
+    bands = []
+    for b in range(4):
+        key = f"concat_ws('_', mh{2*b}, mh{2*b+1})"
+        bands.append(
+            f"SELECT {b} AS band, {h32_sql(key)} AS bucket, doc_id FROM sig"
+        )
+    return f"WITH sig AS (\n{sig}\n)\n" + "\nUNION ALL\n".join(bands)
+
+
+def _simhash_sql() -> str:
+    h = h32_sql("tok")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), sums AS (
+  SELECT doc_id, {sums} FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM sums
+""".strip()
+
+
+def _ann_lsh_sql() -> str:
+    planes = SIM.hyperplanes(64, ANN_PLANES, ANN_SEED)
+    bits = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return f"SELECT vec_id, {' + '.join(bits)} AS bucket FROM embeddings"
+
+
+def _sentiment_sql(with_label: bool) -> str:
+    terms = " + ".join(
+        f"({occ_sql('text', w)} * {s})" for w, s in sorted(TS.AFINN_MINI.items())
+    )
+    label = """,
+       CASE WHEN comparative > 0.05 THEN 'Positive'
+            WHEN comparative < 0.05 THEN 'Negative'
+            ELSE 'Neutral' END AS sentiment_label"""
+    return f"""
+WITH s AS (
+  SELECT doc_id, {terms} AS score,
+         CAST({TOKCOUNT_SQL} AS DOUBLE) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, score, (CASE WHEN n > 0 THEN score / n ELSE 0.0 END) AS comparative FROM s
+)
+SELECT doc_id, score AS sentiment_score,
+       CAST(round(comparative * 1000000) AS BIGINT) AS comparative_x1e6{label if with_label else ''}
+FROM c
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_hits = " + ".join(occ_sql("text", w) for w in TS.STOPWORDS_MINI)
+    # the CASE chain below mirrors textstats.langid_col's fold exactly:
+    # winner = earliest lang in sorted order achieving the overall max
+    lang_scores = {
+        lang: " + ".join(occ_sql("text", w) for w in TS.LANG_MARKERS[lang])
+        for lang in sorted(TS.LANG_MARKERS)
+    }
+
+    return {
+        "frontier_uniq": f"""
+WITH {FRONTIER_CTE}
+SELECT url, min(seq) AS seq, min(host) AS host FROM frontier GROUP BY url
+""".strip(),
+        "frontier_unique_by_host": f"""
+WITH {FRONTIER_CTE},
+u AS (SELECT url, min(seq) AS seq, min(host) AS host FROM frontier GROUP BY url),
+fh AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY seq) AS rn FROM u)
+SELECT url, seq, host FROM fh WHERE rn = 1 ORDER BY seq LIMIT 10
+""".strip(),
+        "frontier_wave0": f"""
+WITH {FRONTIER_CTE},
+u AS (SELECT url, min(seq) AS seq, min(host) AS host FROM frontier GROUP BY url),
+fh AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY seq) AS rn FROM u),
+wave AS (SELECT url, seq, host FROM fh WHERE rn = 1 ORDER BY seq LIMIT 15)
+SELECT row_number() OVER (ORDER BY seq) - 1 AS pos, url, host, seq FROM wave
+""".strip(),
+        "frontier_slice": f"""
+WITH {FRONTIER_CTE},
+u AS (SELECT url, min(seq) AS seq FROM frontier GROUP BY url),
+r AS (SELECT url, seq, row_number() OVER (ORDER BY seq) - 1 AS p FROM u)
+SELECT url, seq FROM r WHERE p >= 20 AND p < 50
+""".strip(),
+        "url_skip_filter": f"""
+WITH {MESSY_CTE}
+SELECT doc_id, url,
+       (doc_id % 11 = 0 OR doc_id % 7 IN (0, 1, 2)) AS skipped
+FROM messy
+""".strip(),
+        "url_likely_articles": f"""
+WITH {PATHS_CTE}
+SELECT doc_id, url FROM paths WHERE doc_id % 6 IN (2, 4)
+""".strip(),
+        "url_canonicalize": """
+SELECT doc_id,
+       'https://h' || (doc_id % 20) || '.example.com/Path/' || doc_id || '?q=1' AS canonical
+FROM documents
+""".strip(),
+        "amp_candidates": f"""
+WITH {FRONTIER_CTE},
+f AS (SELECT seq, url FROM frontier WHERE seq < 50)
+SELECT seq, 0 AS variant, url || '/amp' AS candidate FROM f
+UNION ALL SELECT seq, 1, url || '/amp.html' FROM f
+UNION ALL SELECT seq, 2, url || '?amp=1' FROM f
+UNION ALL SELECT seq, 3, url || '?output=amp' FROM f
+""".strip(),
+        "seen_antijoin": f"""
+WITH {FRONTIER_CTE}
+SELECT url, seq FROM frontier
+WHERE url NOT IN (SELECT url FROM frontier WHERE seq % 3 = 0)
+""".strip(),
+        "round_robin_interleave": f"""
+WITH {FRONTIER_CTE},
+r AS (SELECT regexp_extract(host, '^(src\\d+)', 1) AS feed, url, seq,
+             row_number() OVER (PARTITION BY regexp_extract(host, '^(src\\d+)', 1)
+                                ORDER BY seq) AS rr_rank
+      FROM frontier)
+SELECT feed, url, seq, rr_rank FROM r ORDER BY rr_rank, feed, seq LIMIT 100
+""".strip(),
+        "politeness_budget": f"""
+WITH {FRONTIER_CTE},
+r AS (SELECT host, url, seq,
+             row_number() OVER (PARTITION BY host ORDER BY seq) AS rn
+      FROM frontier)
+SELECT host, url, seq FROM r WHERE rn <= 3
+""".strip(),
+        "robots_filter": """
+WITH cand AS (
+  SELECT doc_id AS seq,
+         'https://h' || (doc_id % 4) || '.example.com' ||
+         (CASE doc_id % 3 WHEN 0 THEN '/admin/x' || doc_id
+                          WHEN 1 THEN '/public/y' || doc_id
+                          ELSE '/story/z' || doc_id END) AS url,
+         'h' || (doc_id % 4) || '.example.com' AS host,
+         doc_id % 4 AS hk, doc_id % 3 AS pk
+  FROM documents
+)
+SELECT seq, url, host FROM cand
+WHERE NOT (hk = 0 AND pk = 0)        -- h0 disallow /admin
+  AND NOT (hk = 1 AND pk <> 1)       -- h1 disallow / except allow /public (longer)
+  AND NOT (hk = 2 AND pk = 2)        -- h2 disallow /story
+""".strip(),
+        "domain_rules_join": f"""
+WITH {FRONTIER_CTE}
+SELECT url, min(seq) AS seq,
+       (CASE WHEN host = 'src1.example.com' THEN 'exact-src1'
+             WHEN host = 'src2.example.com' THEN 'exact-src2'
+             ELSE 'suffix-any' END) AS setting
+FROM frontier GROUP BY url, host
+""".strip(),
+        "extract_title": """
+SELECT doc_id, 'OG Doc ' || doc_id AS title,
+       'Doc ' || doc_id || ' | ExampleSite' AS doc_title
+FROM documents
+""".strip(),
+        "extract_links": f"""
+WITH {FRONTIER_CTE}
+SELECT seq AS doc_id, 2 AS n_links,
+       'https://' || host || '/next/' || (seq + 1) AS first_href,
+       'ext' AS second_text
+FROM frontier
+""".strip(),
+        "extract_meta": """
+SELECT doc_id, 2 AS n_meta, lang || ' article' AS description FROM documents
+""".strip(),
+        "extract_images": f"""
+WITH {FRONTIER_CTE}
+SELECT seq AS doc_id,
+       (CASE WHEN seq % 2 = 0 THEN 1 ELSE 0 END) AS n_images,
+       (CASE WHEN seq % 2 = 0 THEN 'https://' || host || '/img/' || seq || '.png' END) AS src,
+       (CASE WHEN seq % 2 = 0 THEN 'Caption ' || seq END) AS caption,
+       (CASE WHEN seq % 2 = 0 THEN 64 END) AS width,
+       (CASE WHEN seq % 2 = 0 THEN 32 END) AS height
+FROM frontier
+""".strip(),
+        "title_suffix_strip": """
+SELECT doc_id, 'Doc ' || doc_id AS title FROM documents
+""".strip(),
+        "readability": f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS characters,
+       CAST({TOKCOUNT_SQL} AS BIGINT) AS words,
+       CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                     x -> trim(x) <> '')), 1) AS BIGINT) AS sentences,
+       CAST(greatest(len(list_filter(string_split_regex(text, '\\n{{2,}}'),
+                                     x -> trim(x) <> '')), 1) AS BIGINT) AS paragraphs,
+       CAST(round({TOKCOUNT_SQL} / 200.0 * 60.0) AS BIGINT) AS reading_time
+FROM documents
+""".strip(),
+        "token_count": f"""
+SELECT doc_id, CAST({TOKCOUNT_SQL} AS BIGINT) AS n_tokens,
+       {occ_sql('text', 'the')} AS n_the
+FROM documents
+""".strip(),
+        "quality_score": f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST({TOKCOUNT_SQL} AS BIGINT) AS n_words,
+         ({stop_hits}) AS stopword_hits,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+  FROM documents
+), r AS (
+  SELECT *,
+         (CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END) AS mwl,
+         (CASE WHEN n_words > 0 THEN CAST(stopword_hits AS DOUBLE) / n_words ELSE 0.0 END) AS sr,
+         (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) AS ar
+  FROM q
+)
+SELECT doc_id, n_chars, n_words, stopword_hits,
+       CAST(round(ar * 10000) AS BIGINT) AS alpha_ratio_x1e4,
+       CAST(round(least(
+         least(CAST(n_chars AS DOUBLE) / 20.0, 40.0)
+         + 30.0 * ar
+         + 20.0 * least(sr * 4.0, 1.0)
+         + 10.0 * (CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.0 END),
+         100.0)) AS BIGINT) AS quality_score
+FROM r
+""".strip(),
+        "langid": f"""
+WITH s AS (
+  SELECT doc_id,
+         {", ".join(f"({lang_scores[lang]}) AS s_{lang}" for lang in sorted(TS.LANG_MARKERS))}
+  FROM documents
+), best AS (
+  SELECT doc_id, s_en,
+         (CASE
+            WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+            WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+            WHEN s_es > greatest(s_de, s_en) THEN 'es'
+            WHEN s_en > s_de THEN 'en'
+            ELSE 'de' END) AS winner,
+         greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx
+  FROM s
+)
+SELECT doc_id, (CASE WHEN mx > 0 THEN winner ELSE 'en' END) AS lang_pred,
+       s_en AS en_score
+FROM best
+""".strip(),
+        "sentiment": _sentiment_sql(with_label=True),
+        "sentiment_join": _sentiment_sql(with_label=False),
+        "excerpt": """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s FROM documents
+), e AS (
+  SELECT doc_id,
+         (CASE WHEN length(s) <= 200 THEN s
+               ELSE substr(s, 1, 200) ||
+                    (CASE WHEN substr(s, 200, 1) = ' ' THEN ''
+                          ELSE coalesce(string_split(substr(s, 201, 1000000), ' ')[1], '')
+                     END)
+          END) AS snip
+  FROM t
+), tr AS (SELECT doc_id, trim(snip) AS x FROM e)
+SELECT doc_id,
+       (CASE WHEN length(x) > 0 THEN upper(substr(x, 1, 1)) || substr(x, 2, 1000000) END) AS excerpt
+FROM tr
+""".strip(),
+        "keywords_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+), flt AS (
+  SELECT doc_id, term FROM toks
+  WHERE term NOT IN ({", ".join(f"'{w}'" for w in TS.STOPWORDS_MINI)}) AND length(term) > 1
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flt GROUP BY doc_id, term
+), r AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rank
+  FROM tf
+)
+SELECT doc_id, term, tf, rank FROM r WHERE rank <= 10
+""".strip(),
+        "normalize_entity": """
+SELECT p_partkey,
+       lower(trim(regexp_replace(regexp_replace(p_name, '[^A-Za-z0-9À-￿]+', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS normalized
+FROM part
+""".strip(),
+        "dedup_exact": f"""
+WITH n AS (SELECT doc_id, md5({NORMTEXT_SQL.replace('text', 'text')}) AS fingerprint FROM documents)
+SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_dups FROM n GROUP BY fingerprint
+""".strip(),
+        "bag_fingerprint": f"""
+WITH n AS (SELECT doc_id, {NORMTEXT_SQL} AS nt FROM documents)
+SELECT doc_id, md5(array_to_string(list_sort(string_split(nt, ' ')), ' ')) AS bag_fp FROM n
+""".strip(),
+        "minhash_signatures": _minhash_sql(),
+        "lsh_buckets": _lsh_buckets_sql(),
+        "simhash": _simhash_sql(),
+        "ngram_jaccard": f"""
+WITH norm AS (
+  SELECT doc_id, {NORMTEXT_SQL} AS nt FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT DISTINCT doc_id, substr(nt, i, 8) AS shingle
+  FROM norm, unnest(generate_series(1, greatest(length(nt) - 7, 1), 4)) AS t(i)
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM norm a, norm b WHERE a.doc_id < b.doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       CAST(round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                  / (za.sz + zb.sz - coalesce(i.n_inter, 0)) * 10000) AS BIGINT) AS jaccard_x1e4
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes za ON za.doc_id = p.id_a
+JOIN sizes zb ON zb.doc_id = p.id_b
+""".strip(),
+        "knn_bruteforce": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, v)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM c, q
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(round(cos * 1000000) AS BIGINT) AS cosine_x1e6
+FROM r WHERE rank <= 10
+""".strip(),
+        "embedding_norms": """
+SELECT vec_id,
+       CAST(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * 1000000) AS BIGINT) AS norm_x1e6
+FROM embeddings
+""".strip(),
+        "ann_lsh_buckets": _ann_lsh_sql(),
+        "label_centroids": """
+SELECT label, d,
+       CAST(round(avg(embedding[d + 1]::DOUBLE) * 10000) AS BIGINT) AS mean_x1e4
+FROM embeddings, unnest(generate_series(0, 63)) AS t(d)
+GROUP BY label, d
+""".strip(),
+        "event_hourly": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_x100
+FROM events GROUP BY 1, 2
+""".strip(),
+        "sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(epoch_ms(ts)) AS start_epoch_ms
+FROM s GROUP BY user_id, session_idx
+""".strip(),
+        "retry_backoff": """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS attempt
+  FROM events WHERE event_type = 'error'
+)
+SELECT event_id, user_id, attempt,
+       epoch_ms(ts) + attempt * 1000 AS not_before_ms
+FROM e
+""".strip(),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_x100,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_x100,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""".strip(),
+        "top_orders_per_customer": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, rank,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_x100
+FROM r WHERE rank <= 3
+""".strip(),
+        "revenue_by_nation": """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_x100
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""".strip(),
+        "part_type_stats": """
+SELECT p_type, count(*) AS n_items, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+""".strip(),
+        # crawl_two_rounds, image_features: non-SQL-expressible (stateful
+        # multi-round crawl; binary decode) — rows-only checks by design.
+    }

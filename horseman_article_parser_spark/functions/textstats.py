@@ -1,0 +1,310 @@
+"""Text-analysis column algebra: tokens, readability, quality, language
+ID, sentiment, fingerprints. Everything here is a pure Column expression
+(JVM-side, whole-stage-codegen) — zero Python crossings — so each op is
+also renderable as ANSI SQL for the DuckDB oracle.
+
+Reference parity (behavior, not code):
+- readability counts + readingTime = round(words/200*60)
+    /root/reference/controllers/readability.js:13-57 (formula :55)
+- sentiment = AFINN token-sum; label thresholds preserve the quirk that
+  Neutral is reachable only at comparative == 0.05 exactly
+    /root/reference/index.js:1443-1451 (SURVEY §2.4 A10, §7.3)
+- excerpt = first ~200 chars extended to a word boundary, capitalized
+    /root/reference/index.js:1399 (X8)
+- normalizeEntity = strip quotes, non-alnum→space, collapse, lower
+    /root/reference/controllers/entityParser.js:83-90 (X1)
+- language detect = n-gram/stopword profile scoring with 'en' default
+    /root/reference/controllers/language.js:26-46 (N1) — here a
+    marker-word profile model (franc-style trigram scoring distilled to
+    its decisive signal for our corpora), argmax with deterministic
+    alphabetical tie-break and 'en' fallback when no marker hits.
+
+Scale notes: these run over `documents.text` at 100 TB as a single
+narrow projection — no shuffle, no UDF, fully pipelined into the scan.
+Token-explode variants (sentiment via lexicon join, TF top-k) shuffle
+once on (doc_id) or (doc_id, token), both high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Marker-word profiles for language ID. Function words chosen to be
+# near-unique per language (the decisive trigrams franc would score).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "ist", "das"),
+    "en": ("the", "and", "of", "is", "that", "with"),
+    "es": ("el", "la", "los", "que", "es", "una"),
+    "fr": ("le", "les", "des", "est", "que", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+LANG_DEFAULT = "en"
+
+# AFINN-style lexicon over this engine's synthetic-corpus vocabulary
+# (the reference ships AFINN-165 as a dependency; the scoring algebra —
+# sum, comparative = sum/token_count, threshold labels — is what we
+# reproduce; the lexicon is pluggable).
+AFINN_MINI: dict[str, int] = {
+    "fast": 2,
+    "big": 1,
+    "merge": 1,
+    "slow": -2,
+    "small": -1,
+    "dup": -1,
+    "good": 3,
+    "great": 3,
+    "bad": -3,
+    "error": -2,
+}
+
+STOPWORDS_MINI = ("a", "the", "and", "of", "to", "in")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------------ tokens
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, TOKEN_SPLIT_RE)
+    )
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def occurrences_col(text: Column | str, word: str) -> Column:
+    """Exact whole-token occurrence count: size(filter(tokens, = word)).
+    Token-based (not replace-count) so adjacent repeats are counted
+    correctly; oracle SQL twin is len(list_filter(string_split_regex(...)))."""
+    return F.size(
+        F.filter(tokens_col(text), lambda t: t == F.lit(word))
+    ).cast("long")
+
+
+# -------------------------------------------------------- readability
+
+
+def readability_cols(text: Column | str) -> dict[str, Column]:
+    """A4: characters, words, sentences, paragraphs, readingTime(sec)."""
+    t = _c(text)
+    words = token_count_col(t)
+    sentences = F.size(
+        F.filter(F.split(t, r"[.!?]+"), lambda s: F.trim(s) != F.lit(""))
+    )
+    paragraphs = F.size(
+        F.filter(F.split(t, r"\n{2,}"), lambda s: F.trim(s) != F.lit(""))
+    )
+    return {
+        "characters": F.length(t).cast("long"),
+        "words": words.cast("long"),
+        "sentences": F.greatest(sentences, F.lit(1)).cast("long"),
+        "paragraphs": F.greatest(paragraphs, F.lit(1)).cast("long"),
+        # reference: Math.round(words / 200 * 60) seconds (readability.js:55)
+        "reading_time": F.round(words / F.lit(200.0) * F.lit(60.0)).cast("long"),
+    }
+
+
+# ------------------------------------------------------------ quality
+
+
+def quality_cols(text: Column | str) -> dict[str, Column]:
+    """Training-data quality signals: length, mean word length, stopword
+    ratio, alpha ratio. Score = additive, clamped [0,100], rounded to an
+    integer so the value is hash-stable across engines."""
+    t = _c(text)
+    n_chars = F.length(t)
+    n_words = token_count_col(t)
+    stop_hits = None
+    for w in STOPWORDS_MINI:
+        o = occurrences_col(t, w)
+        stop_hits = o if stop_hits is None else stop_hits + o
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_chars.cast("double") / F.lit(20.0), F.lit(40.0))
+        + F.lit(30.0) * alpha_ratio
+        + F.lit(20.0) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        + F.lit(10.0)
+        * F.when((mean_word_len >= 3.0) & (mean_word_len <= 8.0), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "stopword_hits": stop_hits.cast("long"),
+        "alpha_ratio_x1e4": F.round(alpha_ratio * 10000).cast("long"),
+        "quality_score": F.round(F.least(score, F.lit(100.0))).cast("long"),
+    }
+
+
+# ----------------------------------------------------------- language
+
+
+def lang_score_col(text: Column | str, words: tuple[str, ...]) -> Column:
+    """Marker-profile score: count of tokens ∈ `words` (one filter pass)."""
+    marker_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(tokens_col(text), lambda t: F.array_contains(marker_arr, t))
+    ).cast("long")
+
+
+def langid_col(text: Column | str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """N1: marker-profile language ID. Scores = count of marker-word
+    tokens per language; winner = max score with alphabetical (earliest)
+    tie-break; all-zero → 'en' (the reference's default, language.js:44).
+
+    Tie-break trick: array_max over struct(score, -rank) picks the max
+    score and, on ties, the smallest rank (= alphabetically first lang) —
+    a single compact expression instead of a nested CASE fold (which
+    overflows janino whole-stage codegen at 5 languages × 6 markers)."""
+    m = markers or LANG_MARKERS
+    langs = sorted(m)
+    entries = [
+        F.struct(
+            lang_score_col(text, m[lang]).alias("score"),
+            F.lit(-i).alias("negrank"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    winner = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), -best["negrank"] + 1
+    )
+    return F.when(best["score"] > 0, winner).otherwise(F.lit(LANG_DEFAULT))
+
+
+# ---------------------------------------------------------- sentiment
+
+
+def sentiment_cols(text: Column | str, lexicon: dict[str, int] | None = None) -> dict[str, Column]:
+    """A10: AFINN token-sum without exploding — occurrence-count × score
+    per lexicon word (identical result to explode+join for whole-word
+    tokens, and shuffle-free). comparative = score / token_count.
+    Label quirk preserved: Neutral only at comparative == 0.05 exactly."""
+    lex = lexicon or AFINN_MINI
+    t = _c(text)
+    score = None
+    for w in sorted(lex):
+        contrib = occurrences_col(t, w) * F.lit(lex[w])
+        score = contrib if score is None else score + contrib
+    n = token_count_col(t)
+    comparative = F.when(n > 0, score.cast("double") / n).otherwise(F.lit(0.0))
+    label = (
+        F.when(comparative > 0.05, F.lit("Positive"))
+        .when(comparative < 0.05, F.lit("Negative"))
+        .otherwise(F.lit("Neutral"))
+    )
+    return {
+        "sentiment_score": score.cast("long"),
+        "comparative_x1e6": F.round(comparative * 1_000_000).cast("long"),
+        "sentiment_label": label,
+    }
+
+
+def sentiment_via_join(docs: DataFrame, lexicon: dict[str, int] | None = None,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """A10 as the canonical explode→broadcast-join→agg plan (the shape
+    that scales when the lexicon is AFINN-165-sized rather than inline)."""
+    lex = lexicon or AFINN_MINI
+    spark = docs.sparkSession
+    lex_df = F.broadcast(
+        spark.createDataFrame(sorted(lex.items()), "token string, tok_score int")
+    )
+    toks = docs.select(
+        id_col, token_count_col(text_col).alias("n_tokens"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    )
+    return (
+        toks.join(lex_df, "token", "left")
+        .groupBy(id_col, "n_tokens")
+        .agg(F.sum(F.coalesce("tok_score", F.lit(0))).alias("sentiment_score"))
+        .select(
+            id_col,
+            "sentiment_score",
+            F.round(
+                F.col("sentiment_score").cast("double")
+                / F.greatest("n_tokens", F.lit(1)) * 1_000_000
+            ).cast("long").alias("comparative_x1e6"),
+        )
+    )
+
+
+# -------------------------------------------------------- fingerprints
+
+
+def normalize_text_col(text: Column | str) -> Column:
+    """X1-style normalization: non-alnum→space, collapse, trim, lower."""
+    t = F.regexp_replace(_c(text), r"[^A-Za-z0-9À-￿]+", " ")
+    return F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text (portable)."""
+    return F.md5(normalize_text_col(text))
+
+
+def bag_fingerprint_col(text: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 of the sorted token bag —
+    catches shuffled near-dups that exact hashing misses."""
+    toks = F.array_sort(F.split(normalize_text_col(text), " "))
+    return F.md5(F.array_join(toks, " "))
+
+
+def excerpt_col(text: Column | str, limit: int = 200) -> Column:
+    """X8: first `limit` chars extended to the next word boundary, then
+    first letter capitalized (index.js:1399 behavior)."""
+    t = F.trim(F.regexp_replace(_c(text), r"\s+", " "))
+    snippet = F.when(F.length(t) <= limit, t).otherwise(
+        F.concat(
+            F.substring(t, 1, limit),
+            F.when(
+                F.substring(t, limit, 1) == " ", F.lit("")
+            ).otherwise(F.split(F.substring(t, limit + 1, 1_000_000), " ")[0]),
+        )
+    )
+    trimmed = F.trim(snippet)
+    return F.when(
+        F.length(trimmed) > 0,
+        F.concat(F.upper(F.substring(trimmed, 1, 1)), F.substring(trimmed, 2, 1_000_000)),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+# ------------------------------------------------------------- top-k TF
+
+
+def keywords_topk(docs: DataFrame, k: int = 10, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  stopwords: tuple[str, ...] = STOPWORDS_MINI) -> DataFrame:
+    """A9/N3: term-frequency top-k per document, stopword-filtered,
+    deterministic (count desc, term asc) tie-break. One shuffle on
+    (doc, term), one window on doc — both key-spread."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(id_col, F.explode(tokens_col(text_col)).alias("term"))
+    toks = toks.filter(~F.col("term").isin(*stopwords) & (F.length("term") > 1))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "rank")
+    )

@@ -32,7 +32,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -226,3 +226,11 @@ def canonicalize_url_udf(urls: Iterator[pd.Series]) -> Iterator[pd.Series]:
     parse_url can't express (default-port strip, IDN-safe lowercase)."""
     for s in urls:
         yield s.map(canonicalize_url, na_action="ignore")
+
+
+@pandas_udf(ArrayType(StringType()))
+def amp_candidates_udf(urls: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Arrow-batched X21: the 4 AMP URL variants per input URL
+    (/root/reference/index.js:325-334)."""
+    for s in urls:
+        yield s.map(amp_candidates, na_action="ignore")

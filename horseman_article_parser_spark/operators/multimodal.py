@@ -1,0 +1,213 @@
+"""Multimodal (image/audio/video) column operators: opaque `binary`
+payloads + typed metadata, processed by Arrow-batched `mapInPandas`
+kernels — never per-row Python UDFs (BASELINE.json input_hint).
+
+The payload table is exactly the input_hint shape:
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash bigint)
+
+The reference's analogue is the screenshot JPEG + `article.images[]`
+metadata (/root/reference/index.js:755-775, 1014-1181); here the binary
+payload is a first-class column and the per-row invariant is decoded-
+pixel PSNR≥40dB + caption equality (verified in tests/test_images_table.py
+and tests/test_multimodal.py).
+
+Decode dispatch is real numpy for the engine's PNG/QJPG containers;
+JPEG/WebP/audio/video entropy decoding is STUBBED behind
+NotImplementedError (no image/audio libs in this container) — the Spark
+plumbing (schema, Arrow batch shape, partitioning, UDF signature) is the
+real, tested artifact.
+
+Scale rules encoded here:
+- `bytes` never enters a shuffle: kernels run as narrow `mapInPandas`
+  over the scan; joins happen on `image_id` AFTER features are extracted
+  (SURVEY §7.3 "keep bytes out of shuffles, join back late").
+- Metadata-only queries never touch `bytes`: Parquet column pruning does
+  the work, see `tests/test_multimodal.py::test_column_pruning`.
+- Arrow batches stay bounded via spark.sql.execution.arrow.maxRecordsPerBatch
+  (session.py) because one batch holds ~2048 × bytes cells.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..codecs.images import decode_image, phash64, psnr
+
+IMAGE_FEATURE_SCHEMA = (
+    "`image_id` string, `w` int, `h` int, `fmt` string, "
+    "`mean_r` double, `mean_g` double, `mean_b` double, "
+    "`std_luma` double, `phash_check` bigint, `decode_ok` boolean"
+)
+
+THUMB_SCHEMA = "`image_id` string, `tw` int, `th` int, `thumb` binary"
+
+PSNR_SCHEMA = "`image_id` string, `psnr_db` double, `caption` string"
+
+
+def _resize_nearest(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (real, not stubbed)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return pixels[ys][:, xs]
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode + per-channel stats + phash recheck, one Arrow pass.
+
+    Selects only the columns the kernel needs (column pruning reaches
+    the parquet scan), decodes each payload, and emits a narrow feature
+    row — the wide `bytes` column dies inside the stage."""
+    src = images.select("image_id", "bytes", "w", "h", "fmt")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    px = decode_image(bytes(data))
+                    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                    rows.append(
+                        (image_id, int(w), int(h), fmt,
+                         float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+                         float(px[:, :, 2].mean()), float(luma.std()),
+                         phash64(px), True)
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((image_id, int(w), int(h), fmt,
+                                 None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "w", "h", "fmt", "mean_r", "mean_g",
+                         "mean_b", "std_luma", "phash_check", "decode_ok"],
+            )
+
+    return src.mapInPandas(kernel, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def thumbnails(images: DataFrame, tw: int = 16, th: int = 16) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG thumbnails."""
+    from ..codecs.images import encode_png
+
+    src = images.select("image_id", "bytes")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(bytes(data))
+                except (NotImplementedError, ValueError):
+                    continue
+                ids.append(image_id)
+                out.append(encode_png(_resize_nearest(px, tw, th)))
+            yield pd.DataFrame(
+                {"image_id": ids, "tw": tw, "th": th, "thumb": out}
+            )
+
+    return src.mapInPandas(kernel, schema=THUMB_SCHEMA)
+
+
+def psnr_vs_reference(images: DataFrame, reference_pixels) -> DataFrame:
+    """Per-row decoded-pixel PSNR against a caller-supplied reference
+    generator `reference_pixels(image_id) -> np.ndarray` (the north-rule
+    invariant: PSNR ≥ 40 dB for lossy + caption equality)."""
+    src = images.select("image_id", "bytes", "caption")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data, caption in zip(
+                pdf["image_id"], pdf["bytes"], pdf["caption"]
+            ):
+                try:
+                    px = decode_image(bytes(data))
+                    ref = reference_pixels(image_id)
+                    rows.append((image_id, psnr(ref, px), caption))
+                except (NotImplementedError, ValueError):
+                    rows.append((image_id, None, caption))
+            yield pd.DataFrame(rows, columns=["image_id", "psnr_db", "caption"])
+
+    return src.mapInPandas(kernel, schema=PSNR_SCHEMA)
+
+
+def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 6,
+                         n_blocks: int = 8) -> DataFrame:
+    """Near-duplicate images by phash Hamming distance — metadata-only
+    plan: reads (image_id, phash), never `bytes`. Same block-permutation
+    equi-join as text SimHash (operators.dedup.simhash_near_pairs), over
+    64 bits in `n_blocks` chunks."""
+    sig = images.select(F.col("image_id"), F.col("phash"))
+    block_bits = 64 // n_blocks
+    mask = (1 << block_bits) - 1
+    parts = []
+    for i in range(n_blocks):
+        parts.append(
+            sig.select(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("phash"), i * block_bits)
+                .bitwiseAND(F.lit(mask)).alias("chunk"),
+                F.col("image_id"), F.col("phash"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    a = allc.select("blk", "chunk", F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"))
+    b = allc.select("blk", "chunk", F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"))
+    pairs = (
+        a.join(b, ["blk", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ----------------------------------------------------------- stubs
+
+
+AUDIO_FEATURE_SCHEMA = "`clip_id` string, `duration_s` double, `rms` double"
+FRAME_SAMPLE_SCHEMA = "`video_id` string, `frame_idx` int, `frame` binary"
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """STUB: audio decode needs codec libs absent from this container.
+    The plumbing (binary column → Arrow batch → feature row) is real and
+    mirrors `image_features`; the kernel raises on first batch."""
+    src = clips.select(F.col("clip_id"), F.col("bytes"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _ in batches:
+            raise NotImplementedError(
+                "audio decode requires codec libraries not in this container"
+            )
+        yield pd.DataFrame(columns=["clip_id", "duration_s", "rms"])
+
+    return src.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB: video demux/decode absent from this container; signature,
+    schema and batch shape are the real contract."""
+    src = videos.select(F.col("video_id"), F.col("bytes"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _ in batches:
+            raise NotImplementedError(
+                "video frame sampling requires codec libraries not in this container"
+            )
+        yield pd.DataFrame(columns=["video_id", "frame_idx", "frame"])
+
+    return src.mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
