@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from __spark_entry__.queries() at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier_urls_per_sec": ..., "crawl": {...}}
+
+Each query is forced to full materialization with the `noop` datasource
+(count() would let Catalyst prune the projection and under-report).
+
+The crawl-throughput section runs the actual CrawlScheduler (bloom
+seen-filter, politeness budgets, priority waves, checkpointed store)
+over a synthetic seed frontier and reports frontier URLs scheduled/sec —
+the BASELINE.json headline metric. Scaling-efficiency evidence
+(local[8] vs local[32]) is produced by scripts/scaling_bench.py and
+recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Representative slice of the operator surface: frontier scheduling,
+# URL functions, extraction, dedup/similarity, text analytics, relational.
+HEADLINE = [
+    "frontier_wave0",
+    "seen_antijoin",
+    "politeness_budget",
+    "robots_filter",
+    "url_canonicalize",
+    "round_robin_interleave",
+    "extract_title",
+    "extract_links",
+    "extract_images",
+    "minhash_signatures",
+    "lsh_buckets",
+    "simhash",
+    "ngram_jaccard",
+    "knn_bruteforce",
+    "langid",
+    "quality_score",
+    "sentiment",
+    "keywords_topk",
+    "sessionize",
+    "pricing_summary",
+    "top_orders_per_customer",
+]
+
+# crawl-throughput workload knobs (scale with CPUs so local[8] vs
+# local[32] measures the same total work at different parallelism)
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "8000"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+CRAWL_WAVE = int(os.environ.get("SPARK_GRAFT_BENCH_WAVE", "4000"))
+
+
+def _force(df) -> int:
+    """Materialize every column of every row; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    # noop doesn't give a count; a cheap count after the timed write
+    # would double work, so count during: use accumulator-free approach
+    return -1
+
+
+def bench_queries(spark, queries):
+    times = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, SF_DIR)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def bench_crawl(spark) -> dict:
+    """Frontier URLs scheduled/sec over CRAWL_ROUNDS scheduler rounds."""
+    from horseman_article_parser_spark.datagen.frontier import build_seed_frontier
+    from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+
+    store = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        cfg = CrawlConfig(
+            wave_size=CRAWL_WAVE,
+            round0_limit=CRAWL_WAVE,
+            unique_hosts_round0=False,
+            default_host_budget=max(CRAWL_WAVE // 40, 4),
+            n_salts=CPUS,
+            n_shards=CPUS,
+            total_bloom_bits=1 << 24,
+            n_hosts=200,
+        )
+        sched = CrawlScheduler(spark, store, cfg)
+        seeds = build_seed_frontier(spark, n=CRAWL_SEEDS, n_hosts=200)
+        sched.init_from_seeds(seeds)
+        t0 = time.monotonic()
+        scheduled = 0
+        for r in range(CRAWL_ROUNDS):
+            metrics = sched.run_round(r)
+            scheduled += metrics.get("scheduled", 0)
+        dt = time.monotonic() - t0
+        return {
+            "rounds": CRAWL_ROUNDS,
+            "urls_scheduled": scheduled,
+            "sec": round(dt, 3),
+            "urls_per_sec": round(scheduled / dt, 1) if dt > 0 else None,
+        }
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def main():
+    from horseman_article_parser_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up (untimed)
+    E.queries()["frontier_slice"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    qtimes = bench_queries(spark, E.queries())
+    crawl = bench_crawl(spark)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(qtimes.values()), 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": CPUS,
+        "frontier_urls_per_sec": crawl["urls_per_sec"],
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

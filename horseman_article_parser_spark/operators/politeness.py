@@ -82,9 +82,18 @@ def host_budgets(robots: DataFrame | None, wave_seconds: float = 60.0) -> DataFr
         .agg(F.min("crawl_delay_ms").alias("_delay_ms"))
         .select(
             "host",
-            F.greatest(
-                F.lit(1),
-                F.floor(F.lit(wave_seconds * 1000.0) / F.col("_delay_ms")),
+            # crawl_delay_ms <= 0 (or null) means "no delay" ⇒ unbounded
+            # within the wave; cap at int32 max so the top-k filter is a
+            # no-op rather than a divide-by-zero under ANSI mode.
+            F.when(
+                F.coalesce(F.col("_delay_ms"), F.lit(0)) <= 0,
+                F.lit(2147483647),
+            )
+            .otherwise(
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(wave_seconds * 1000.0) / F.col("_delay_ms")),
+                )
             )
             .cast("int")
             .alias("_budget"),

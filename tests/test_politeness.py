@@ -48,6 +48,17 @@ def test_host_budgets_from_crawl_delay(spark):
     assert got == {"h1.x": 2, "h2.x": 120}
 
 
+def test_host_budgets_zero_delay_is_unbounded(spark):
+    # crawl_delay_ms = 0 (e.g. a disallow-only robots row) must not
+    # divide by zero under ANSI mode; it means "no delay" ⇒ no cap.
+    robots = spark.createDataFrame(
+        [("h1.x", "disallow", "/", 0), ("h2.x", "allow", "/", None)],
+        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
+    )
+    got = {r["host"]: r["_budget"] for r in host_budgets(robots, wave_seconds=60).collect()}
+    assert got == {"h1.x": 2147483647, "h2.x": 2147483647}
+
+
 def test_budget_enforced_with_hot_host_skew(spark):
     # hot host owns 85% of candidates (FIXTURES.md §5 hot_hosts)
     rows = [(f"https://hot.x/p-{i}", i, "hot.x", 0, 0.0) for i in range(850)]
