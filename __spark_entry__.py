@@ -345,6 +345,9 @@ def _synth_pages(spark, sf_dir):
     pages = docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id").select(
         "doc_id", "url", html.alias("html")
     )
+    # narrow rows; explicit repartition so the Arrow extract pass uses
+    # every local worker even when the tiny join collapses to few parts
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
     return extract_articles(pages)
 
 

@@ -61,11 +61,11 @@ HEADLINE = [
     "top_orders_per_customer",
 ]
 
-# crawl-throughput workload knobs (scale with CPUs so local[8] vs
-# local[32] measures the same total work at different parallelism)
-CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "8000"))
+# crawl-throughput workload knobs: identical total work at any
+# parallelism level so local[8] vs local[32] measures scaling.
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "16000"))
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
-CRAWL_WAVE = int(os.environ.get("SPARK_GRAFT_BENCH_WAVE", "4000"))
+CRAWL_WAVE = int(os.environ.get("SPARK_GRAFT_BENCH_WAVE", "8000"))
 
 
 def _force(df) -> int:
@@ -89,40 +89,59 @@ def bench_queries(spark, queries):
     return times
 
 
-def bench_crawl(spark) -> dict:
-    """Frontier URLs scheduled/sec over CRAWL_ROUNDS scheduler rounds."""
+def _crawl_cfg(wave: int):
+    from horseman_article_parser_spark.plans.crawl import CrawlConfig
+
+    return CrawlConfig(
+        wave_size=wave,
+        round0_limit=wave,
+        unique_hosts_round0=False,
+        default_host_budget=max(wave // 40, 4),
+        n_salts=CPUS,
+        n_shards=CPUS,
+        total_bloom_bits=1 << 24,
+        n_hosts=200,
+        lineage_counts=False,
+    )
+
+
+def _run_crawl(spark, seeds_n: int, wave: int, rounds: int) -> dict:
     from horseman_article_parser_spark.datagen.frontier import build_seed_frontier
-    from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+    from horseman_article_parser_spark.plans.crawl import CrawlScheduler
 
     store = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
-        cfg = CrawlConfig(
-            wave_size=CRAWL_WAVE,
-            round0_limit=CRAWL_WAVE,
-            unique_hosts_round0=False,
-            default_host_budget=max(CRAWL_WAVE // 40, 4),
-            n_salts=CPUS,
-            n_shards=CPUS,
-            total_bloom_bits=1 << 24,
-            n_hosts=200,
-        )
-        sched = CrawlScheduler(spark, store, cfg)
-        seeds = build_seed_frontier(spark, n=CRAWL_SEEDS, n_hosts=200)
+        sched = CrawlScheduler(spark, store, _crawl_cfg(wave))
+        seeds = build_seed_frontier(spark, n=seeds_n, n_hosts=200)
         sched.init_from_seeds(seeds)
         t0 = time.monotonic()
         scheduled = 0
-        for r in range(CRAWL_ROUNDS):
+        per_round = []
+        for r in range(rounds):
             metrics = sched.run_round(r)
             scheduled += metrics.get("scheduled", 0)
+            per_round.append(round(metrics["seconds"], 3))
         dt = time.monotonic() - t0
         return {
-            "rounds": CRAWL_ROUNDS,
+            "rounds": rounds,
             "urls_scheduled": scheduled,
             "sec": round(dt, 3),
+            "round_sec": per_round,
             "urls_per_sec": round(scheduled / dt, 1) if dt > 0 else None,
         }
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def bench_crawl(spark) -> dict:
+    """Frontier URLs scheduled/sec over CRAWL_ROUNDS scheduler rounds.
+
+    One small untimed round first amortizes one-time JVM codegen +
+    Python-worker/Arrow startup (~45 s) out of the throughput number —
+    on a long-lived cluster that cost is paid once per executor, not
+    per round."""
+    _run_crawl(spark, seeds_n=300, wave=200, rounds=1)  # warm-up
+    return _run_crawl(spark, CRAWL_SEEDS, CRAWL_WAVE, CRAWL_ROUNDS)
 
 
 def main():

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
 from ..functions.hashing import MINHASH_P, h32, minhash_params, universal_hash
+from ..functions.partitioning import fan_out
 from ..functions.textstats import fingerprint_col, normalize_text_col, tokens_col
 
 DEFAULT_SHINGLE_K = 8
@@ -72,12 +73,29 @@ def shingles_col(text: Column | str, k: int = DEFAULT_SHINGLE_K,
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 k: int = DEFAULT_SHINGLE_K, step: int = DEFAULT_SHINGLE_STEP) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the set representation."""
-    return (
-        docs.select(F.col(id_col), F.explode(shingles_col(text_col, k, step)).alias("shingle"))
-        .distinct()
+                 k: int = DEFAULT_SHINGLE_K, step: int = DEFAULT_SHINGLE_STEP,
+                 distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs — the set representation when
+    `distinct=True`; the raw multiset otherwise (enough for any
+    duplicate-insensitive consumer like MinHash's `min`, saving the
+    distinct's full shuffle of the exploded rows).
+
+    The normalization regex runs ONCE per document in its own projection
+    (referenced from every shingle position, CollapseProject keeps it
+    un-inlined), and the narrow pre-explode rows are `fan_out` so a
+    single-split local file doesn't serialize the explode."""
+    t = normalize_text_col(text_col)
+    norm = fan_out(docs.select(F.col(id_col), t.alias("_t")))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("_t") - (k - 1), F.lit(1)), F.lit(step)
     )
+    sh = norm.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(positions, lambda i: F.substring(F.col("_t"), i, k))
+        ).alias("shingle"),
+    )
+    return sh.distinct() if distinct else sh
 
 
 # ------------------------------------------------------------ minhash
@@ -90,9 +108,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, id_col: str = "doc_i
 
     Plan: shingle explode → h32(shingle) → n universal hashes → one
     hash-agg of n mins keyed on doc_id. The n hash functions are n
-    *expressions* over one exploded column, not n passes."""
+    *expressions* over one exploded column, not n passes. `min` is
+    duplicate-insensitive, so the multiset of shingles feeds the agg
+    directly — no distinct, exactly one shuffle (with map-side partial
+    mins) in the whole plan."""
     params = minhash_params(n_hashes)
-    sh = doc_shingles(docs, id_col, text_col, k, step)
+    sh = doc_shingles(docs, id_col, text_col, k, step, distinct=False)
     h = h32(F.col("shingle"))
     aggs = [
         F.min(universal_hash(h, a, b)).alias(f"mh{j}")
@@ -107,21 +128,21 @@ def lsh_band_buckets(signatures: DataFrame, bands: int, rows_per_band: int,
     slice. Docs sharing (band, bucket) are near-dup candidates."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     assert len(mh_cols) >= bands * rows_per_band
-    out = []
+    # all bands in ONE pass: array of (band, bucket) structs → explode.
+    # A per-band union would recompute the signature aggregation once
+    # per band (the plan forks above the agg, not below it).
+    entries = []
     for b in range(bands):
         slice_cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         key = F.concat_ws("_", *[c.cast("string") for c in slice_cols])
-        out.append(
-            signatures.select(
-                F.lit(b).alias("band"),
-                h32(key).alias("bucket"),
-                F.col(id_col),
-            )
-        )
-    result = out[0]
-    for df in out[1:]:
-        result = result.unionByName(df)
-    return result
+        entries.append(F.struct(F.lit(b).alias("band"), h32(key).alias("bucket")))
+    return signatures.select(
+        F.explode(F.array(*entries)).alias("_bb"), F.col(id_col)
+    ).select(
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+        F.col(id_col),
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int,
@@ -214,7 +235,9 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     Explode rows = tokens (NOT tokens×bits): each of the `bits` sign-sums
     is an independent aggregate expression `sum(CASE (h>>b)&1 ...)`, so
     one shuffle on doc_id computes the whole fingerprint."""
-    toks = docs.select(F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("tok"))
+    toks = fan_out(docs.select(F.col(id_col), tokens_col(text_col).alias("_toks"))).select(
+        F.col(id_col), F.explode_outer("_toks").alias("tok")
+    )
     h = h32(F.col("tok"))
     aggs = [
         F.sum(

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..functions.htmldom import Element, clean_ws, get_by_id, parse_html
+from ..functions.partitioning import fan_out
 
 MAX_LINKS = 1000
 MAX_IMAGES = 500
@@ -402,9 +403,19 @@ def extract_article(url: str | None, html: str | None) -> dict:
 
 
 def extract_articles(
-    fetched: DataFrame, url_col: str = "url", html_col: str = "html"
+    fetched: DataFrame, url_col: str = "url", html_col: str = "html",
+    fan_out_scan: bool = False,
 ) -> DataFrame:
-    """DataFrame op: adds an `article` struct column via one Arrow pass."""
+    """DataFrame op: adds an `article` struct column via one Arrow pass.
+
+    `fan_out_scan=True` lifts a single-split local *scan* to the
+    session's parallelism so all Python workers engage. It inspects the
+    plan's partitioning (`.rdd`), which under AQE can materialize
+    upstream query stages — so it must only be set when `fetched` is a
+    cheap scan/projection, never mid-pipeline (the crawl loop already
+    partitions its fetch wave explicitly)."""
+    if fan_out_scan:
+        fetched = fan_out(fetched)
     in_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in fetched.schema.fields
     )

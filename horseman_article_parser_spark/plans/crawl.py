@@ -70,6 +70,10 @@ class CrawlConfig:
     max_depth: int = 8
     n_hosts: int = 50
     fetch_partitions: int | None = None
+    # driver-side lineage counts (links extracted / new URLs) cost one
+    # extra Spark job each per round; the per-host metrics TABLE is
+    # always written regardless — this only gates the console numbers.
+    lineage_counts: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -153,6 +157,13 @@ class CrawlScheduler:
         cfg = self.config
         spark = self.spark
         t0 = time.monotonic()
+        timings: dict[str, float] = {}
+
+        def _mark(label: str, since: float) -> float:
+            now = time.monotonic()
+            timings[label] = round(now - since, 3)
+            return now
+
         pending = self.store.read(spark, "pending", round_no - 1)
 
         # --- wave selection: robots → politeness budget → global top-k
@@ -168,11 +179,13 @@ class CrawlScheduler:
         wave = ordered_zip_with_index(wave, ["priority", "seq"], out_col="pos")
         wave = wave.persist()
         self.store.write(wave.orderBy("pos"), "waves", round_no)
+        t = _mark("wave_select", t0)
 
         # --- fetch + extract (one Arrow crossing each)
         fetched = self._fetch(wave)
         articles = extract_articles(fetched).persist()
         self.store.write(articles.drop("html"), "results", round_no)
+        t = _mark("fetch_extract", t)
 
         # --- link expansion → canonicalize → filter → dedup → claim
         links = articles.filter(F.col("status") == 200).select(
@@ -186,7 +199,8 @@ class CrawlScheduler:
             & ~skip_col(F.col("target"))
             & (F.col("parent_depth") < cfg.max_depth)
         )
-        n_extracted = links.count()
+        n_extracted = links.count() if cfg.lineage_counts else -1
+        t = _mark("link_expand", t)
         # in-batch first-occurrence dedup: keep the earliest (parent_seq, pos)
         dedup = links.groupBy("target").agg(
             F.min(F.struct("parent_seq", "pos", "parent_depth")).alias("first")
@@ -198,6 +212,7 @@ class CrawlScheduler:
             (F.col("first.parent_depth") + 1).alias("depth"),
         )
         new_rows = self.seen.claim_unseen(dedup)
+        t = _mark("seen_claim", t)
         # deterministic seq for the next generation (scalable ranked index)
         new_rows = ordered_zip_with_index(
             new_rows, ["parent_seq", "pos", "url"], out_col="_idx"
@@ -219,9 +234,10 @@ class CrawlScheduler:
         remaining = pending.join(wave.select("url"), on="url", how="left_anti")
         next_pending = remaining.select(*FRONTIER_COLS).unionByName(new_frontier)
         self.store.write(next_pending, "pending", round_no)
+        t = _mark("pending_write", t)
 
         # --- metrics: per-host aggregate (A1) + lineage counts
-        n_new = new_frontier.count()
+        n_new = new_frontier.count() if cfg.lineage_counts else -1
         metrics = (
             articles.groupBy("host")
             .agg(
@@ -237,12 +253,14 @@ class CrawlScheduler:
         wave_count = wave.count()
         wave.unpersist()
         articles.unpersist()
+        _mark("metrics_commit", t)
         return {
             "round": round_no,
             "scheduled": wave_count,
             "links_extracted": n_extracted,
             "new_urls": n_new,
             "seconds": time.monotonic() - t0,
+            "timings": timings,
         }
 
     def run(self, n_rounds: int, seeds: DataFrame | None = None) -> list[dict]:
