@@ -105,13 +105,13 @@ def _crawl_cfg(wave: int):
     )
 
 
-def _run_crawl(spark, seeds_n: int, wave: int, rounds: int) -> dict:
+def _run_crawl(spark, seeds_n: int, wave: int, rounds: int, cfg=None) -> dict:
     from horseman_article_parser_spark.datagen.frontier import build_seed_frontier
     from horseman_article_parser_spark.plans.crawl import CrawlScheduler
 
     store = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
-        sched = CrawlScheduler(spark, store, _crawl_cfg(wave))
+        sched = CrawlScheduler(spark, store, cfg or _crawl_cfg(wave))
         seeds = build_seed_frontier(spark, n=seeds_n, n_hosts=200)
         sched.init_from_seeds(seeds)
         t0 = time.monotonic()

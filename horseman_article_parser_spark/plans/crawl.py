@@ -55,6 +55,11 @@ from .checkpoint import CrawlStore
 
 # seq values for round r live in [r*SEQ_STRIDE, (r+1)*SEQ_STRIDE)
 SEQ_STRIDE = 1 << 40
+# within a round, seq = parent_wave_pos * LINK_POS_STRIDE + link_pos;
+# injective because link_pos < 1024 (extract caps links at 1000) and
+# order-preserving, so it replaces a dense rank without a ranking job.
+# Bounds: wave_size * 1024 must stay < SEQ_STRIDE (wave_size < 2^30).
+LINK_POS_STRIDE = 1 << 10
 
 
 @dataclass
@@ -175,8 +180,12 @@ class CrawlScheduler:
             order_cols=["priority", "seq"],
             n_salts=cfg.n_salts,
         )
-        wave = polite.orderBy("priority", "seq").limit(cfg.wave_size)
-        wave = ordered_zip_with_index(wave, ["priority", "seq"], out_col="pos")
+        # one ranked pass gives both the global (priority, seq) order AND
+        # the wave cut: rank the polite candidates, keep pos < wave_size.
+        # (An orderBy().limit() followed by a second ranking pass would
+        # sort the same rows twice.)
+        wave = ordered_zip_with_index(polite, ["priority", "seq"], out_col="pos")
+        wave = wave.filter(F.col("pos") < cfg.wave_size)
         wave = wave.persist()
         self.store.write(wave.orderBy("pos"), "waves", round_no)
         t = _mark("wave_select", t0)
@@ -189,7 +198,7 @@ class CrawlScheduler:
 
         # --- link expansion → canonicalize → filter → dedup → claim
         links = articles.filter(F.col("status") == 200).select(
-            F.col("seq").alias("parent_seq"),
+            F.col("pos").alias("parent_pos"),
             F.col("depth").alias("parent_depth"),
             F.posexplode_outer("article.links").alias("pos", "link"),
         )
@@ -201,26 +210,32 @@ class CrawlScheduler:
         )
         n_extracted = links.count() if cfg.lineage_counts else -1
         t = _mark("link_expand", t)
-        # in-batch first-occurrence dedup: keep the earliest (parent_seq, pos)
+        # in-batch first-occurrence dedup: keep the earliest discovery in
+        # crawl-schedule order (parent's wave pos, then link pos)
         dedup = links.groupBy("target").agg(
-            F.min(F.struct("parent_seq", "pos", "parent_depth")).alias("first")
+            F.min(F.struct("parent_pos", "pos", "parent_depth")).alias("first")
         )
         dedup = dedup.select(
             F.col("target").alias("url"),
-            F.col("first.parent_seq").alias("parent_seq"),
+            F.col("first.parent_pos").alias("parent_pos"),
             F.col("first.pos").alias("pos"),
             (F.col("first.parent_depth") + 1).alias("depth"),
         )
         new_rows = self.seen.claim_unseen(dedup)
         t = _mark("seen_claim", t)
-        # deterministic seq for the next generation (scalable ranked index)
-        new_rows = ordered_zip_with_index(
-            new_rows, ["parent_seq", "pos", "url"], out_col="_idx"
-        )
+        # deterministic seq for the next generation: an order-preserving
+        # ARITHMETIC encode of the (unique) discovery position — no
+        # ranking job, no extra shuffle. parent_pos < wave_size and
+        # link pos < 1024 (extract caps links at 1000, reference W7), so
+        # the encode is injective and ordered exactly like a dense rank.
         new_frontier = with_host(
             new_rows.select(
                 "url",
-                (F.lit((round_no + 1) * SEQ_STRIDE) + F.col("_idx")).alias("seq"),
+                (
+                    F.lit((round_no + 1) * SEQ_STRIDE)
+                    + F.col("parent_pos") * LINK_POS_STRIDE
+                    + F.col("pos")
+                ).alias("seq"),
                 F.col("depth").cast("int"),
                 # north rule: priority = link_depth + in-article link score
                 (

@@ -24,6 +24,7 @@ from ..functions.urls import canonicalize_url, skip_reason
 from ..operators.extract import extract_article
 
 SEQ_STRIDE = 1 << 40
+LINK_POS_STRIDE = 1 << 10  # must match plans.crawl.LINK_POS_STRIDE
 
 
 def js_url_host(u: str) -> str | None:
@@ -120,9 +121,9 @@ def sim_crawl(
         taken_urls = {r[0] for r in taken}
         pending = [r for r in pending if r[0] not in taken_urls]
 
-        # expand links
+        # expand links; discovery order = (parent's wave pos, link pos)
         discovered: dict[str, tuple[int, int, int]] = {}
-        for url, seq, host, depth, _prio in taken:
+        for parent_pos, (url, _seq, host, depth, _prio) in enumerate(taken):
             status, html = fetch_page(url)
             if status != 200 or depth >= max_depth:
                 continue
@@ -131,17 +132,16 @@ def sim_crawl(
                 target = canonicalize_url(link["href"])
                 if target is None or skip_reason(target) is not None:
                     continue
-                key = (seq, pos, depth)
+                key = (parent_pos, pos, depth)
                 if target not in discovered or key < discovered[target]:
                     discovered[target] = key
-        new_items = sorted(
-            ((v[0], v[1], k, v[2]) for k, v in discovered.items() if k not in seen)
-        )
-        for idx, (parent_seq, pos, url, parent_depth) in enumerate(new_items):
+        for url, (parent_pos, pos, parent_depth) in discovered.items():
+            if url in seen:
+                continue
             seen.add(url)
             depth = parent_depth + 1
             priority = depth + min(pos, 9) / 10.0
-            pending.append(
-                (url, (rnd + 1) * SEQ_STRIDE + idx, js_url_host(url), depth, priority)
-            )
+            # arithmetic order-preserving seq — mirrors plans.crawl
+            seq = (rnd + 1) * SEQ_STRIDE + parent_pos * LINK_POS_STRIDE + pos
+            pending.append((url, seq, js_url_host(url), depth, priority))
     return waves
