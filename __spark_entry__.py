@@ -389,6 +389,60 @@ def q_extract_images(spark, sf_dir):
     )
 
 
+def _synth_feeds(spark, sf_dir, sitemap: bool):
+    """One feed per `source`, items synthesized from documents (both
+    engines construct the identical XML, so extraction has an exact
+    relational oracle). doc_id % 7 == 0 items carry the channel link,
+    exercising the reference's guid-replaces-channel-link rule."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id").cast("string")
+    channel = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/"))
+    if sitemap:
+        item = F.concat(F.lit("<url><loc>"), channel, F.lit("page-"), d,
+                        F.lit("</loc><lastmod>2024-01-01</lastmod></url>"))
+    else:
+        link = F.when(F.col("doc_id") % 7 == 0, channel).otherwise(
+            F.concat(channel, F.lit("story-"), d)
+        )
+        guid = F.concat(channel, F.lit("guid-"), d)
+        item = F.concat(
+            F.lit("<item><link>"), link, F.lit("</link>"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("<guid>"), guid, F.lit("</guid>")),
+            ).otherwise(F.lit("")),
+            F.lit("</item>"),
+        )
+    per_feed = docs.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), item.alias("item")))
+        ).alias("items")
+    )
+    body = F.array_join(F.transform("items", lambda s: s["item"]), "")
+    if sitemap:
+        xml = F.concat(F.lit("<urlset>"), body, F.lit("</urlset>"))
+    else:
+        xml = F.concat(
+            F.lit("<rss><channel><link>https://"), F.col("source"),
+            F.lit(".example.com/</link>"), body, F.lit("</channel></rss>"),
+        )
+    return per_feed.select(F.col("source").alias("feed_url"), xml.alias("xml"))
+
+
+def q_rss_extract(spark, sf_dir):
+    from horseman_article_parser_spark.sources.feeds import extract_feed_links
+
+    feeds = _synth_feeds(_prep(spark), sf_dir, sitemap=False)
+    return extract_feed_links(feeds).select("feed_url", "pos", "url")
+
+
+def q_sitemap_extract(spark, sf_dir):
+    from horseman_article_parser_spark.sources.feeds import extract_feed_links
+
+    feeds = _synth_feeds(_prep(spark), sf_dir, sitemap=True)
+    return extract_feed_links(feeds).select("feed_url", "pos", "url")
+
+
 def q_title_suffix_strip(spark, sf_dir):
     docs = _load(_prep(spark), sf_dir, "documents")
     d = F.col("doc_id").cast("string")
@@ -742,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "domain_rules_join": q_domain_rules_join,
         # extraction (SURVEY §2.7 X12/X13/X17, §2.3 J6/J7, §2.5 W7)
+        "rss_extract": q_rss_extract,
+        "sitemap_extract": q_sitemap_extract,
         "extract_title": q_extract_title,
         "extract_links": q_extract_links,
         "extract_meta": q_extract_meta,
@@ -973,6 +1029,21 @@ SELECT url, min(seq) AS seq,
              ELSE 'suffix-any' END) AS setting
 FROM frontier GROUP BY url, host
 """.strip(),
+        "rss_extract": """
+            SELECT source AS feed_url,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS pos,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'https://' || source || '.example.com/guid-' || doc_id
+                        ELSE 'https://' || source || '.example.com/story-' || doc_id
+                   END AS url
+            FROM documents WHERE doc_id < 300
+        """,
+        "sitemap_extract": """
+            SELECT source AS feed_url,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS pos,
+                   'https://' || source || '.example.com/page-' || doc_id AS url
+            FROM documents WHERE doc_id < 300
+        """,
         "extract_title": """
 SELECT doc_id, 'OG Doc ' || doc_id AS title,
        'Doc ' || doc_id || ' | ExampleSite' AS doc_title
