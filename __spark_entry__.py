@@ -333,6 +333,12 @@ def _synth_pages(spark, sf_dir):
             F.lit("<figcaption>Caption "), d, F.lit("</figcaption></figure>"),
         ),
     ).otherwise(F.lit(""))
+    table_html = F.concat(
+        F.lit("<table><thead><tr><th>Key</th><th>Value</th></tr></thead>"),
+        F.lit("<tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>bucket</td><td>b"),
+        (F.col("doc_id") % 5).cast("string"), F.lit("</td></tr></table>"),
+    )
     html = F.concat(
         F.lit("<html><head><title>Doc "), d, F.lit(" | ExampleSite</title>"),
         F.lit('<meta name="description" content="'), F.col("lang"), F.lit(' article">'),
@@ -340,7 +346,7 @@ def _synth_pages(spark, sf_dir):
         F.lit("</head><body><article><h1>Heading</h1><p>"), F.col("text"),
         F.lit('</p><a href="/next/'), (F.col("doc_id") + 1).cast("string"),
         F.lit('">next</a><a href="https://ext.com/e'), d, F.lit('">ext</a>'),
-        img_html, F.lit("</article></body></html>"),
+        img_html, table_html, F.lit("</article></body></html>"),
     )
     pages = docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id").select(
         "doc_id", "url", html.alias("html")
@@ -441,6 +447,34 @@ def q_sitemap_extract(spark, sf_dir):
 
     feeds = _synth_feeds(_prep(spark), sf_dir, sitemap=True)
     return extract_feed_links(feeds).select("feed_url", "pos", "url")
+
+
+def q_extract_tables(spark, sf_dir):
+    arts = _synth_pages(_prep(spark), sf_dir)
+    t1 = F.try_element_at(F.col("article.tables"), F.lit(1))
+    r2 = F.try_element_at(t1["rows"], F.lit(2))
+    return arts.select(
+        "doc_id",
+        F.size("article.tables").alias("n_tables"),
+        F.array_join(t1["headers"], "|").alias("headers"),
+        t1["rowCount"].alias("row_count"),
+        t1["columnCount"].alias("col_count"),
+        F.array_join(r2["cells"], "|").alias("row2_cells"),
+        F.try_element_at(r2["object"], F.lit("Value")).alias("row2_value"),
+    )
+
+
+def q_extract_figures(spark, sf_dir):
+    arts = _synth_pages(_prep(spark), sf_dir)
+    f1 = F.try_element_at(F.col("article.figures"), F.lit(1))
+    i1 = F.try_element_at(f1["images"], F.lit(1))
+    return arts.select(
+        "doc_id",
+        F.size("article.figures").alias("n_figures"),
+        f1["caption"].alias("caption"),
+        i1["src"].alias("src"),
+        i1["alt"].alias("alt"),
+    )
 
 
 def q_title_suffix_strip(spark, sf_dir):
@@ -802,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "extract_meta": q_extract_meta,
         "extract_images": q_extract_images,
+        "extract_tables": q_extract_tables,
+        "extract_figures": q_extract_figures,
         "title_suffix_strip": q_title_suffix_strip,
         # text analytics (SURVEY §2.4 A4/A9/A10, §2.7 X1/X8, §2.8 N1/N3)
         "readability": q_readability,
@@ -1068,6 +1104,24 @@ SELECT seq AS doc_id,
        (CASE WHEN seq % 2 = 0 THEN 64 END) AS width,
        (CASE WHEN seq % 2 = 0 THEN 32 END) AS height
 FROM frontier
+""".strip(),
+        "extract_tables": """
+SELECT doc_id,
+       1 AS n_tables,
+       'Key|Value' AS headers,
+       2 AS row_count,
+       2 AS col_count,
+       'bucket|b' || (doc_id % 5) AS row2_cells,
+       'b' || (doc_id % 5) AS row2_value
+FROM documents
+""".strip(),
+        "extract_figures": """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_figures,
+       (CASE WHEN doc_id % 2 = 0 THEN 'Caption ' || doc_id END) AS caption,
+       (CASE WHEN doc_id % 2 = 0 THEN '/img/' || doc_id || '.png' END) AS src,
+       (CASE WHEN doc_id % 2 = 0 THEN 'alt text' END) AS alt
+FROM documents
 """.strip(),
         "title_suffix_strip": """
 SELECT doc_id, 'Doc ' || doc_id AS title FROM documents

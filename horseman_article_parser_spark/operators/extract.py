@@ -82,6 +82,28 @@ IMAGE_STRUCT = T.StructType(
     ]
 )
 
+TABLE_STRUCT = T.StructType(
+    [
+        T.StructField("caption", T.StringType()),
+        T.StructField("headers", T.ArrayType(T.StringType())),
+        T.StructField(
+            "rows",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("cells", T.ArrayType(T.StringType())),
+                        T.StructField(
+                            "object", T.MapType(T.StringType(), T.StringType())
+                        ),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("rowCount", T.IntegerType()),
+        T.StructField("columnCount", T.IntegerType()),
+    ]
+)
+
 ARTICLE_STRUCT = T.StructType(
     [
         T.StructField("title", T.StringType()),
@@ -103,26 +125,50 @@ ARTICLE_STRUCT = T.StructType(
         T.StructField("headline", T.StringType()),
         T.StructField("article_body", T.StringType()),
         T.StructField("n_jsonld_articles", T.IntegerType()),
-        T.StructField(
-            "tables",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("caption", T.StringType()),
-                        T.StructField("headers", T.ArrayType(T.StringType())),
-                        T.StructField("rowCount", T.IntegerType()),
-                        T.StructField("columnCount", T.IntegerType()),
-                    ]
-                )
-            ),
-        ),
+        T.StructField("tables", T.ArrayType(TABLE_STRUCT)),
         T.StructField(
             "definitions",
             T.ArrayType(
                 T.StructType(
                     [
-                        T.StructField("term", T.StringType()),
-                        T.StructField("definition", T.StringType()),
+                        T.StructField(
+                            "items",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("term", T.StringType()),
+                                        T.StructField(
+                                            "descriptions",
+                                            T.ArrayType(T.StringType()),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "figures",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("caption", T.StringType()),
+                        T.StructField(
+                            "images",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("src", T.StringType()),
+                                        T.StructField("alt", T.StringType()),
+                                        T.StructField("title", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                        T.StructField("tables", T.ArrayType(TABLE_STRUCT)),
+                        T.StructField("text", T.StringType()),
                     ]
                 )
             ),
@@ -291,49 +337,161 @@ def _extract_links(container: Element, base: str | None) -> list[dict]:
     return links
 
 
+def _cells_of(row: Element) -> list[Element]:
+    """Direct td/th children — HTMLTableRowElement.cells semantics."""
+    return [c for c in row.children if isinstance(c, Element) and c.tag in ("td", "th")]
+
+
+def _nw(s: str | None) -> str:
+    """normalizeWhitespace (/root/reference/controllers/structuredData.js:37-40):
+    collapse runs, trim, '' (not None) for empty."""
+    return clean_ws(s) or ""
+
+
+def _parse_table(tbl: Element) -> dict | None:
+    """parseTable parity (/root/reference/controllers/structuredData.js:42-130):
+    header inference cascade thead-last-row → any-TH-row → first-row
+    derived; colspan expansion; header-keyed object per data row.
+    Deviation: the `html` echo is omitted (raw bytes stay at the scan at
+    100 TB; recoverable from the source row)."""
+    caption_el = tbl.find("caption")
+    all_rows = tbl.find_all("tr")
+    if not all_rows:
+        return None
+
+    header_row: Element | None = None
+    header_idx = -1
+    header_override: list[str | None] | None = None
+
+    thead = tbl.find("thead")
+    if thead is not None:
+        trs = [r for r in thead.find_all("tr") if _cells_of(r)]
+        if trs:
+            header_row = trs[-1]
+            header_idx = all_rows.index(header_row)
+    if header_row is None:
+        for i, row in enumerate(all_rows):
+            if any(c.tag == "th" for c in _cells_of(row)):
+                header_row, header_idx = row, i
+                break
+    if header_row is None:
+        derived = [_nw(c.text()) for c in _cells_of(all_rows[0])]
+        if any(derived):
+            header_row, header_idx = all_rows[0], 0
+            header_override = [t or None for t in derived]
+
+    if header_override is not None:
+        headers = header_override
+    elif header_row is not None:
+        headers = [(_nw(c.text()) or None) for c in _cells_of(header_row)]
+    else:
+        headers = []
+
+    data_rows: list[dict] = []
+    max_row_cols = 0
+    for idx, row in enumerate(all_rows):
+        if idx == header_idx:
+            continue
+        cells: list[tuple[str, int]] = []
+        for c in _cells_of(row):
+            try:
+                span = int(c.get("colspan") or 1)
+            except (TypeError, ValueError):
+                span = 1
+            cells.append((_nw(c.text()), max(span, 1)))
+        if not cells:
+            continue
+        max_row_cols = max(max_row_cols, sum(s for _, s in cells))
+        entry: dict = {"cells": [t for t, _ in cells], "object": None}
+        if headers:
+            expanded: list[str] = []
+            for t, span in cells:
+                expanded.extend([t] * span)
+            obj: dict[str, str] = {}
+            used = False
+            for col, h in enumerate(headers):
+                if not h:
+                    continue
+                v = expanded[col] if col < len(expanded) else ""
+                obj[h] = v
+                if v:
+                    used = True
+            if used or obj:
+                entry["object"] = obj
+        data_rows.append(entry)
+
+    return {
+        "caption": clean_ws(caption_el.text()) if caption_el else None,
+        "headers": headers,
+        "rows": data_rows,
+        "rowCount": len(data_rows),
+        "columnCount": len(headers) or max_row_cols,
+    }
+
+
 def _extract_tables(container: Element) -> list[dict]:
     out = []
     for tbl in container.find_all("table"):
-        caption_el = tbl.find("caption")
-        rows = tbl.find_all("tr")
-        headers: list[str] = []
-        body_rows = rows
-        thead = tbl.find("thead")
-        if thead is not None:
-            head_row = thead.find("tr")
-            if head_row is not None:
-                headers = [clean_ws(c.text()) or "" for c in head_row.find_all("th", "td")]
-                body_rows = [r for r in rows if r is not head_row]
-        elif rows:
-            first_cells = rows[0].find_all("th", "td")
-            if first_cells and all(c.tag == "th" for c in first_cells):
-                headers = [clean_ws(c.text()) or "" for c in first_cells]
-                body_rows = rows[1:]
-        n_cols = len(headers) or max(
-            (len(r.find_all("th", "td")) for r in body_rows), default=0
-        )
-        out.append(
-            {
-                "caption": clean_ws(caption_el.text()) if caption_el else None,
-                "headers": headers,
-                "rowCount": len(body_rows),
-                "columnCount": n_cols,
-            }
-        )
+        parsed = _parse_table(tbl)
+        if parsed is not None:
+            out.append(parsed)
     return out
 
 
 def _extract_definitions(container: Element) -> list[dict]:
+    """parseDefinitionList parity
+    (/root/reference/controllers/structuredData.js:132-159): dt opens an
+    item; dd appends to the current item (null-term item when a dd
+    precedes any dt); empty texts skipped."""
     out = []
     for dl in container.find_all("dl"):
-        term = None
+        items: list[dict] = []
+        current: dict | None = None
         for child in dl.children:
             if not isinstance(child, Element):
                 continue
             if child.tag == "dt":
-                term = clean_ws(child.text())
-            elif child.tag == "dd" and term is not None:
-                out.append({"term": term, "definition": clean_ws(child.text())})
+                term = _nw(child.text())
+                if not term:
+                    continue
+                current = {"term": term, "descriptions": []}
+                items.append(current)
+            elif child.tag == "dd":
+                desc = _nw(child.text())
+                if not desc:
+                    continue
+                if current is None:
+                    current = {"term": None, "descriptions": []}
+                    items.append(current)
+                current["descriptions"].append(desc)
+        if items:
+            out.append({"items": items})
+    return out
+
+
+def _extract_figures(container: Element) -> list[dict]:
+    """parseFigure parity (/root/reference/controllers/structuredData.js:161-178):
+    caption, img src/alt/title, nested tables, flattened text."""
+    out = []
+    for fig in container.find_all("figure"):
+        cap_el = fig.find("figcaption")
+        images = [
+            {
+                "src": img.get("src"),
+                "alt": _nw(img.get("alt")),
+                "title": _nw(img.get("title")),
+            }
+            for img in fig.find_all("img")
+        ]
+        tables = [t for t in (_parse_table(tb) for tb in fig.find_all("table")) if t]
+        out.append(
+            {
+                "caption": clean_ws(cap_el.text()) if cap_el else None,
+                "images": images,
+                "tables": tables,
+                "text": _nw(fig.text()),
+            }
+        )
     return out
 
 
@@ -397,6 +555,7 @@ def extract_article(url: str | None, html: str | None) -> dict:
         "n_jsonld_articles": n_articles,
         "tables": _extract_tables(container),
         "definitions": _extract_definitions(container),
+        "figures": _extract_figures(container),
         "text_raw": text_raw,
         "excerpt": _excerpt(text_raw),
     }

@@ -71,17 +71,22 @@ def _ship_package(spark: SparkSession) -> None:
     on workers whenever the driver's CWD isn't the repo root."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-{os.path.getmtime(pkg_dir):.0f}.zip"
-    )
+    sources: list[tuple[str, str]] = []
+    newest = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in files:
+            if fname.endswith(".py"):
+                full = os.path.join(root, fname)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                sources.append((full, rel))
+                newest = max(newest, os.path.getmtime(full))
+    # cache key = newest source mtime across the WHOLE tree (the package
+    # dir's own mtime misses edits inside subpackages → stale executors)
+    zip_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}-{newest:.0f}.zip")
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fname in files:
-                    if fname.endswith(".py"):
-                        full = os.path.join(root, fname)
-                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                        zf.write(full, rel)
+            for full, rel in sorted(sources):
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)

@@ -88,10 +88,77 @@ def test_tables_and_definitions():
         if spec is None:
             continue
         art = extract_article(url, render_html(spec))
-        assert art["tables"] == [
-            {"caption": None, "headers": ["Region", "Value"], "rowCount": 2, "columnCount": 2}
-        ]
-        assert art["definitions"][0] == {"term": "Topic", "definition": spec["slug"]}
+        tbl = art["tables"][0]
+        assert (tbl["caption"], tbl["headers"]) == (None, ["Region", "Value"])
+        assert (tbl["rowCount"], tbl["columnCount"]) == (2, 2)
+        assert len(tbl["rows"]) == 2 and len(tbl["rows"][0]["cells"]) == 2
+        item = art["definitions"][0]["items"][0]
+        assert item["term"] == "Topic" and item["descriptions"] == [spec["slug"]]
+
+
+def test_table_header_inference_and_objects():
+    # mirrors /root/reference/tests/structuredData.test.js:59-71
+    html = (
+        "<html><body><article><table><caption>GDP table</caption>"
+        "<thead><tr><th>Metric</th><th>Value</th></tr></thead>"
+        "<tbody><tr><td>GDP</td><td>$1</td></tr>"
+        "<tr><td>Inflation</td><td>2%</td></tr></tbody></table></article></body></html>"
+    )
+    t = extract_article("https://x.example/t", html)["tables"][0]
+    assert t["caption"] == "GDP table"
+    assert t["headers"] == ["Metric", "Value"]
+    assert t["rowCount"] == 2
+    assert t["rows"][0]["object"]["Metric"] == "GDP"
+    assert t["rows"][1]["object"]["Value"] == "2%"
+
+
+def test_table_first_row_derived_headers_and_colspan():
+    # no thead/th: first row derives headers
+    # (/root/reference/controllers/structuredData.js:68-77); colspan
+    # cells expand before header keying (:100-104)
+    html = (
+        "<html><body><article><table>"
+        "<tr><td>Name</td><td>Height</td><td>Age</td></tr>"
+        '<tr><td>Nine</td><td colspan="2">6ft / 41</td></tr>'
+        "<tr><td>Ten</td><td>6ft1</td><td>35</td></tr>"
+        "</table></article></body></html>"
+    )
+    t = extract_article("https://x.example/t2", html)["tables"][0]
+    assert t["headers"] == ["Name", "Height", "Age"]
+    assert t["rows"][0]["object"] == {
+        "Name": "Nine", "Height": "6ft / 41", "Age": "6ft / 41",
+    }
+    assert t["columnCount"] == 3
+
+
+def test_definition_list_multiple_descriptions():
+    # mirrors /root/reference/tests/structuredData.test.js:74-83
+    html = (
+        "<html><body><article><dl><dt>Capital</dt><dd>Paris</dd>"
+        "<dd>Lyon (secondary)</dd><dt>Population</dt><dd>67M</dd></dl>"
+        "</article></body></html>"
+    )
+    items = extract_article("https://x.example/d", html)["definitions"][0]["items"]
+    assert items[0]["descriptions"] == ["Paris", "Lyon (secondary)"]
+    assert items[1] == {"term": "Population", "descriptions": ["67M"]}
+
+
+def test_figure_metadata():
+    # mirrors /root/reference/tests/structuredData.test.js:96-105
+    html = (
+        "<html><body><article><figure>"
+        '<img src="/chart.png" alt="Line chart showing quarterly revenue"'
+        ' title="Quarterly Revenue">'
+        "<figcaption>Figure 1. Quarterly revenue trend for 2024.</figcaption>"
+        "</figure></article></body></html>"
+    )
+    fig = extract_article("https://x.example/f", html)["figures"][0]
+    assert fig["caption"] == "Figure 1. Quarterly revenue trend for 2024."
+    assert fig["images"] == [
+        {"src": "/chart.png", "alt": "Line chart showing quarterly revenue",
+         "title": "Quarterly Revenue"}
+    ]
+    assert "Figure 1." in fig["text"]
 
 
 def test_extract_articles_dataframe_op(spark):
