@@ -769,6 +769,73 @@ def q_part_type_stats(spark, sf_dir):
 # -- end-to-end crawl (non-SQL-expressible: stateful multi-round) ------------
 
 
+def q_spellcheck(spark, sf_dir):
+    """N4 spellcheck anti-join + J3 entity filter. Dictionary = words
+    with corpus frequency >= 0.5 * n_docs (by construction on both
+    engines); appended zzrare* tokens are misspellings; zzentity(+s)
+    tokens are misspellings rescued by the known-entity rule."""
+    from horseman_article_parser_spark.operators.spellcheck import (
+        doc_tokens,
+        misspellings,
+    )
+
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    rare = F.concat(
+        F.lit(" zzrare"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("b"))
+        .otherwise(F.lit("c")),
+    )
+    ent = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" zzentity"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" zzentitys"))
+        .otherwise(F.lit(""))
+    )
+    docs2 = docs.select(
+        "doc_id", F.concat(F.col("text"), rare, ent).alias("text")
+    )
+    total = docs.groupBy().agg(F.count("*").alias("_n"))
+    dictionary = (
+        doc_tokens(docs2)
+        .groupBy("word_lc")
+        .agg(F.count("*").alias("_c"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_c") >= 0.5 * F.col("_n"))
+        .select(F.col("word_lc").alias("word"))
+    )
+    entities = spark.createDataFrame([("Zzentity",)], "entity string")
+    return misspellings(docs2, dictionary, entities).select(
+        "doc_id", "line", "word_idx", "word"
+    )
+
+
+def q_summary(spark, sf_dir):
+    """W5/N6 extractive summary — rows-only check (the greedy selection
+    + coverage repair is iterative per doc; golden parity is
+    pytest-gated in tests/test_summary.py against the reference's own
+    scenario)."""
+    from horseman_article_parser_spark.operators.summary import summarize
+
+    docs = _load(_prep(spark), sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.lit(". The report says 42 percent of rows matter. "),
+        F.lit("Subscribe to our newsletter. "),
+        F.lit("Experts say the "), F.col("lang"),
+        F.lit(" corpus grew by 7 million documents."),
+    )
+    out = summarize(
+        docs.select("doc_id", text.alias("text")),
+        title_col=F.concat(F.lit("Corpus report "), F.col("doc_id").cast("string")),
+    )
+    return out.select(
+        "doc_id",
+        F.size("summary.sentences").alias("n_sentences"),
+        F.col("summary.text").alias("summary_text"),
+    )
+
+
 def q_crawl_two_rounds(spark, sf_dir):
     """Two scheduling rounds of the full crawl loop (synthetic web,
     bloom seen-filter, politeness, priority waves) — rows-only check;
@@ -847,8 +914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentiment": q_sentiment,
         "sentiment_join": q_sentiment_join,
         "excerpt": q_excerpt,
+        "summary": q_summary,
         "keywords_topk": q_keywords_topk,
         "normalize_entity": q_normalize_entity,
+        "spellcheck": q_spellcheck,
         # dedup (training-pipeline ops)
         "dedup_exact": q_dedup_exact,
         "bag_fingerprint": q_bag_fingerprint,
@@ -1226,6 +1295,27 @@ SELECT p_partkey,
        lower(trim(regexp_replace(regexp_replace(p_name, '[^A-Za-z0-9À-￿]+', ' ', 'g'),
                                  '\\s+', ' ', 'g'))) AS normalized
 FROM part
+""".strip(),
+        "spellcheck": """
+WITH d AS (
+  SELECT doc_id,
+         text || ' zzrare' ||
+           (CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN ' zzentity'
+                 WHEN doc_id % 5 = 1 THEN ' zzentitys' ELSE '' END) AS text
+  FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ws, 1) - 1 AS INT) AS word_idx,
+         unnest(ws) AS word
+  FROM t),
+freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+dict AS (SELECT word FROM freq WHERE c >= 0.5 * (SELECT count(*) FROM documents)),
+entkeys AS (SELECT 'zzentity' AS word UNION ALL SELECT 'zzentitys')
+SELECT doc_id, 1 AS line, word_idx, word FROM toks
+WHERE word NOT IN (SELECT word FROM dict)
+  AND word NOT IN (SELECT word FROM entkeys)
 """.strip(),
         "dedup_exact": f"""
 WITH n AS (SELECT doc_id, md5({NORMTEXT_SQL.replace('text', 'text')}) AS fingerprint FROM documents)
