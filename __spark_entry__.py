@@ -810,6 +810,72 @@ def q_spellcheck(spark, sf_dir):
     )
 
 
+def q_content_candidates(spark, sf_dir):
+    """A6/W1/W2: candidate feature extraction + heuristic ranking over
+    the synthetic pages. Oracle covers the by-construction fields (the
+    score formula itself is pytest-verified against the reference
+    formula, tests/test_content_detector.py)."""
+    from horseman_article_parser_spark.operators.content_detector import (
+        candidate_features,
+        rank_candidates,
+    )
+
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    fr = _frontier(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><article><h1>Heading</h1><p>"), F.col("text"),
+        F.lit('</p><a href="/next/'), d, F.lit('">next</a>'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit('<img src="/i.png" alt="a">')).otherwise(F.lit("")),
+        F.lit("</article></body></html>"),
+    )
+    pages = docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id").select(
+        "doc_id", html.alias("html")
+    )
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    ranked = rank_candidates(candidate_features(pages))
+    return ranked.select(
+        "doc_id", "xpath", "rank", "sem", "dp", "heads",
+        F.col("imgCount").alias("img_count"),
+    )
+
+
+def q_reranker_train(spark, sf_dir):
+    """A11: spark.ml logistic reranker trained on heuristic-labeled
+    candidates — rows-only check (weights are optimizer-dependent; the
+    exact-GD parity trainer is pytest-verified)."""
+    from horseman_article_parser_spark.operators.content_detector import (
+        candidate_features,
+        rank_candidates,
+        train_reranker,
+    )
+
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><div class="content"><article><h1>T</h1><p>'),
+        F.col("text"), F.lit(" end of article text."),
+        F.lit('</p></article></div><div class="promo">'),
+        F.lit("cookie consent subscribe newsletter banner text here. "),
+        F.lit("gdpr privacy manage preferences advertising partners. "),
+        F.repeat(F.lit("filler promo text for length padding purposes. "), 12),
+        F.lit("</div></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    labeled = rank_candidates(candidate_features(pages)).withColumn(
+        "label", (F.col("rank") == 1).cast("int")
+    )
+    _model, weights = train_reranker(labeled, max_iter=25)
+    rows = [(i, w) for i, w in enumerate(weights["weights"])] + [
+        (-1, weights["bias"])
+    ]
+    return spark.createDataFrame(rows, "dim int, weight double")
+
+
 def q_summary(spark, sf_dir):
     """W5/N6 extractive summary — rows-only check (the greedy selection
     + coverage repair is iterative per doc; golden parity is
@@ -918,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_topk": q_keywords_topk,
         "normalize_entity": q_normalize_entity,
         "spellcheck": q_spellcheck,
+        "content_candidates": q_content_candidates,
+        "reranker_train": q_reranker_train,
         # dedup (training-pipeline ops)
         "dedup_exact": q_dedup_exact,
         "bag_fingerprint": q_bag_fingerprint,
@@ -1295,6 +1363,16 @@ SELECT p_partkey,
        lower(trim(regexp_replace(regexp_replace(p_name, '[^A-Za-z0-9À-￿]+', ' ', 'g'),
                                  '\\s+', ' ', 'g'))) AS normalized
 FROM part
+""".strip(),
+        "content_candidates": """
+SELECT doc_id,
+       '/HTML/BODY/ARTICLE' AS xpath,
+       1 AS rank,
+       1 AS sem,
+       1 AS dp,
+       0 AS heads,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS img_count
+FROM documents
 """.strip(),
         "spellcheck": """
 WITH d AS (

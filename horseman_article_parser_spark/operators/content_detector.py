@@ -1,0 +1,349 @@
+"""Content-detector candidate features, ranking and the ML reranker
+(SURVEY §2.4 A6/A11, §2.5 W1/W2, §2.7 X18/X24).
+
+Behavior-parity reimplementation (not a port) of the reference's
+contentDetector feature/scoring pipeline and logistic reranker:
+
+- candidate gathering ≈ gatherCandidates
+  (/root/reference/controllers/contentDetector.js:187-197): semantic
+  selectors plus content-ish divs (>400 chars)
+- per-candidate features ≈ computeFeatures (:136-162) with helpers
+  (:34-134): len/punct/link-density/paragraphs/semantic/boilerplate/
+  direct-p/direct-blocks/ratio/avgP/depth/headings/a11y/img-alt/consent
+- heuristic score ≈ heuristicScore (:164-185) — evaluated JVM-side as a
+  pure Column expression over the exploded feature rows (W2)
+- ranking ≈ rankCandidates (:599-626) — row_number window (W1)
+- toVector (:560-581) — 16-dim scaled vector as column expressions
+- scoreWithWeights/sigmoid (:583-589) — X24 as Column algebra
+- training ≈ train (/root/reference/scripts/train-reranker.js:144-169):
+  `train_gd` is the exact full-batch GD (lr=0.05, 250 epochs, L2=1e-3)
+  for small/driver-side parity; `train_reranker` is the distributed
+  path via spark.ml LogisticRegression over the same 16-dim vectors.
+
+Split of work: the DOM walk is one Arrow pass emitting a *narrow*
+feature struct per candidate (never the HTML), so scoring, ranking and
+training all stay JVM-side / in spark.ml on shuffled feature rows only.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+from ..functions.htmldom import Element, parse_html
+from ..functions.partitioning import fan_out
+
+_NEG_TAGS = frozenset("nav aside footer form header noscript template".split())
+_NEG_CLASSES = frozenset(
+    "comments comment related recirculation share social promo sponsor newsletter consent".split()
+)
+_BLOCK_TAGS = frozenset("p h2 h3 h4 ul ol li figure blockquote pre table".split())
+_CONSENT_KWS = (
+    "cookie", "cookies", "consent", "gdpr", "privacy",
+    "data usage", "manage preferences", "advertising partners",
+)
+_PUNCT_RE = re.compile(r"[.!?,;:]")
+_WS_RE = re.compile(r"\s+")
+
+FEATURE_FIELDS = [
+    ("len", T.IntegerType()),
+    ("punct", T.IntegerType()),
+    ("ld", T.DoubleType()),
+    ("pc", T.IntegerType()),
+    ("sem", T.IntegerType()),
+    ("boiler", T.IntegerType()),
+    ("dp", T.IntegerType()),
+    ("db", T.IntegerType()),
+    ("dr", T.DoubleType()),
+    ("avgP", T.DoubleType()),
+    ("depth", T.IntegerType()),
+    ("heads", T.IntegerType()),
+    ("roleMain", T.IntegerType()),
+    ("roleNeg", T.IntegerType()),
+    ("ariaHidden", T.IntegerType()),
+    ("imgAltRatio", T.DoubleType()),
+    ("imgCount", T.IntegerType()),
+    ("consentPenalty", T.DoubleType()),
+]
+
+CANDIDATE_STRUCT = T.StructType(
+    [T.StructField("xpath", T.StringType())]
+    + [T.StructField(n, t) for n, t in FEATURE_FIELDS]
+)
+
+
+def _text(el: Element) -> str:
+    return _WS_RE.sub(" ", el.text()).strip()
+
+
+def _is_negative(el: Element) -> bool:
+    return el.tag in _NEG_TAGS or any(c in _NEG_CLASSES for c in el.classes)
+
+
+def _xpath(el: Element) -> str:
+    """X18 getXPath (/root/reference/controllers/contentDetector.js:473-494)."""
+    parts: list[str] = []
+    node: Element | None = el
+    while node is not None and node.tag != "#document":
+        parent = node.parent
+        idx = 1
+        if parent is not None:
+            same = [c for c in parent.children if isinstance(c, Element) and c.tag == node.tag]
+            if len(same) > 1:
+                idx = same.index(node) + 1
+                parts.append(f"{node.tag.upper()}[{idx}]")
+            else:
+                parts.append(node.tag.upper())
+        else:
+            parts.append(node.tag.upper())
+        node = parent
+    return "/" + "/".join(reversed(parts))
+
+
+def compute_features(el: Element) -> dict:
+    """computeFeatures parity (contentDetector.js:136-162)."""
+    text = _text(el)
+    length = len(text)
+    punct = len(_PUNCT_RE.findall(text))
+    link_text = " ".join(_text(a) for a in el.find_all("a"))
+    ld = len(link_text) / (length or 1)
+    pc = len(el.find_all("p", "br"))
+    sem = 0
+    if el.tag in ("article", "main") or el.get("role") == "main":
+        sem = 1
+    elif el.get("itemtype") and re.search(r"Article", el.get("itemtype"), re.I):
+        sem = 1
+    boiler = min(3, sum(1 for d in el.iter() if _is_negative(d)))
+    kids = [c for c in el.children if isinstance(c, Element)]
+    dp = sum(1 for c in kids if c.tag == "p")
+    db = sum(1 for c in kids if c.tag in _BLOCK_TAGS)
+    dr = dp / db if db > 0 else (1.0 if dp > 0 else 0.0)
+    plens = [len(_text(c)) for c in kids if c.tag == "p"]
+    avg_p = sum(plens) / len(plens) if plens else 0.0
+    depth = 0
+    node = el
+    while node.parent is not None:
+        depth += 1
+        if node.parent.tag in ("body", "html"):
+            break
+        node = node.parent
+    heads = sum(1 for c in kids if c.tag in ("h2", "h3", "h4"))
+    role_main = role_neg = aria_hidden = 0
+    node = el
+    neg_roles = {"complementary", "banner", "navigation", "contentinfo", "search"}
+    pos_roles = {"main", "article", "region"}
+    while node is not None and node.tag != "#document":
+        role = node.get("role") or ""
+        if role in pos_roles:
+            role_main = 1
+        if role in neg_roles:
+            role_neg = 1
+        if node.get("hidden") is not None or node.get("aria-hidden") == "true":
+            aria_hidden = 1
+        node = node.parent
+    imgs = el.find_all("img")
+    with_alt = sum(1 for i in imgs if (i.get("alt") or "").strip())
+    iar = with_alt / len(imgs) if imgs else 1.0
+    lower = text.lower()
+    hits = sum(1 for kw in _CONSENT_KWS if kw in lower)
+    consent = min(6.0, hits * 1.5) if hits >= 2 else 0.0
+    return {
+        "len": length, "punct": punct, "ld": ld, "pc": pc, "sem": sem,
+        "boiler": boiler, "dp": dp, "db": db, "dr": dr, "avgP": avg_p,
+        "depth": depth, "heads": heads, "roleMain": role_main,
+        "roleNeg": role_neg, "ariaHidden": aria_hidden,
+        "imgAltRatio": iar, "imgCount": len(imgs), "consentPenalty": consent,
+    }
+
+
+def gather_candidates(root: Element) -> list[Element]:
+    """gatherCandidates parity: semantic containers + >400-char divs."""
+    out: list[Element] = []
+    seen: set[int] = set()
+    for el in root.iter():
+        pick = (
+            el.tag in ("article", "main")
+            or el.get("role") == "main"
+            or (el.get("itemtype") and "article" in el.get("itemtype").lower())
+            or any(
+                c in ("content", "article", "post", "story", "entry", "post-body")
+                for c in el.classes
+            )
+            or (el.tag == "div" and len(_text(el)) > 400)
+        )
+        if pick and id(el) not in seen:
+            seen.add(id(el))
+            out.append(el)
+    return out
+
+
+def page_candidates(html: str | None) -> list[dict]:
+    if not html:
+        return []
+    root = parse_html(html)
+    return [
+        {"xpath": _xpath(el), **compute_features(el)}
+        for el in gather_candidates(root)
+    ]
+
+
+def candidate_features(
+    pages: DataFrame, id_col: str = "doc_id", html_col: str = "html",
+    fan_out_scan: bool = False,
+) -> DataFrame:
+    """One Arrow pass: (doc, html) → exploded candidate feature rows.
+    Output is narrow (xpath + 18 numeric features); HTML never leaves
+    the scan stage."""
+    if fan_out_scan:
+        pages = fan_out(pages)
+    out_schema = T.StructType(
+        [pages.schema[id_col], T.StructField("candidate", CANDIDATE_STRUCT)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for rid, html in zip(pdf[id_col], pdf[html_col]):
+                for cand in page_candidates(html):
+                    rows.append({id_col: rid, "candidate": cand})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return (
+        pages.mapInPandas(run, schema=out_schema)
+        .select(id_col, "candidate.*")
+    )
+
+
+def heuristic_score_col() -> Column:
+    """W2 heuristicScore (contentDetector.js:164-185) as Column algebra
+    over candidate_features output — JVM whole-stage-codegen."""
+    f = F.col
+    length_score = F.log(1 + f("len"))
+    punct_score = F.least(f("punct") / 10.0, F.lit(5.0))
+    para_score = F.least(f("pc") / 5.0, F.lit(5.0))
+    sem_bonus = f("sem") * 2.0
+    link_penalty = F.least(f("ld") * 10.0, F.lit(6.0))
+    direct_p = F.least(f("dp") / 3.0, F.lit(6.0))
+    ratio_score = F.least(f("dr") * 6.0, F.lit(6.0))
+    avg_p = F.least(F.log(1 + f("avgP")), F.lit(4.0))
+    heading = F.least(f("heads").cast("double"), F.lit(3.0)) * 0.5
+    depth_score = F.least(f("depth").cast("double"), F.lit(8.0)) * 0.3
+    wrapper = F.when((f("dp") == 0) & (f("db") > 0), 2.0).otherwise(0.0)
+    a11y = f("roleMain") * 1.5 - f("roleNeg") * 1.0 - f("ariaHidden") * 3.0
+    alt = F.least(f("imgAltRatio") * 2.0, F.lit(2.0))
+    return (
+        length_score + punct_score + para_score + sem_bonus + direct_p
+        + ratio_score + avg_p + heading + depth_score + a11y + alt
+        - link_penalty - f("boiler") - wrapper - f("consentPenalty")
+    )
+
+
+def rank_candidates(features: DataFrame, id_col: str = "doc_id",
+                    score: Column | None = None) -> DataFrame:
+    """W1: per-document rank by score desc (xpath tiebreak pinned)."""
+    from pyspark.sql.window import Window
+
+    s = score if score is not None else heuristic_score_col()
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("xpath"))
+    return (
+        features.withColumn("score", s)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def vector_cols() -> list[Column]:
+    """toVector parity (contentDetector.js:560-581): 16 scaled dims."""
+    f = F.col
+
+    def clamp(c: Column, lo: float, hi: float) -> Column:
+        return F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+
+    return [
+        F.log(1 + f("len")).alias("v0"),
+        clamp(f("punct") / 10.0, 0, 5).alias("v1"),
+        f("ld").cast("double").alias("v2"),
+        clamp(f("pc") / 5.0, 0, 5).alias("v3"),
+        f("sem").cast("double").alias("v4"),
+        f("boiler").cast("double").alias("v5"),
+        clamp(f("dp") / 10.0, 0, 1).alias("v6"),
+        clamp(f("dr"), 0, 1).alias("v7"),
+        clamp(F.log(1 + f("avgP")) / 5.0, 0, 1).alias("v8"),
+        clamp(f("depth") / 10.0, 0, 1).alias("v9"),
+        clamp(f("heads") / 6.0, 0, 1).alias("v10"),
+        f("roleMain").cast("double").alias("v11"),
+        f("roleNeg").cast("double").alias("v12"),
+        f("ariaHidden").cast("double").alias("v13"),
+        clamp(f("imgAltRatio"), 0, 1).alias("v14"),
+        clamp(f("imgCount") / 50.0, 0, 1).alias("v15"),
+    ]
+
+
+N_DIMS = 16
+
+
+def score_with_weights_col(weights: list[float], bias: float) -> Column:
+    """X24 sigmoid(b + w·v) as pure Column algebra over v0..v15."""
+    z = F.lit(float(bias))
+    for i, w in enumerate(weights[:N_DIMS]):
+        z = z + F.col(f"v{i}") * float(w)
+    return 1.0 / (1.0 + F.exp(-z))
+
+
+def train_gd(rows: list[tuple[list[float], int]], lr: float = 0.05,
+             epochs: int = 250, l2: float = 0.001) -> dict:
+    """Exact reference trainer (train-reranker.js:144-169): full-batch
+    gradient descent. Driver-side; for parity tests and small corpora."""
+    if not rows:
+        return {"weights": [], "bias": 0.0}
+    d = len(rows[0][0])
+    w = [0.0] * d
+    b = 0.0
+    n = len(rows)
+    for _ in range(epochs):
+        dw = [0.0] * d
+        db = 0.0
+        for x, y in rows:
+            z = b + sum(wi * xi for wi, xi in zip(w, x))
+            p = 1.0 / (1.0 + math.exp(-z))
+            diff = p - y
+            for i in range(d):
+                dw[i] += diff * x[i]
+            db += diff
+        for i in range(d):
+            w[i] -= lr * (dw[i] / n + l2 * w[i])
+        b -= lr * (db / n)
+    return {"weights": w, "bias": b}
+
+
+def train_reranker(features: DataFrame, label_col: str = "label",
+                   max_iter: int = 100, reg: float = 0.001):
+    """A11 at scale: spark.ml LogisticRegression over the 16-dim
+    vectors (distributed L-BFGS; same model family as the reference's
+    GD — weights differ numerically, ranking quality is what tests
+    assert). Returns (model, weights_dict)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    vecs = features.select(*vector_cols(), F.col(label_col).cast("double"))
+    assembler = VectorAssembler(
+        inputCols=[f"v{i}" for i in range(N_DIMS)], outputCol="features"
+    )
+    lr = LogisticRegression(
+        featuresCol="features", labelCol=label_col, maxIter=max_iter,
+        regParam=reg, standardization=False,
+    )
+    model = lr.fit(assembler.transform(vecs))
+    weights = {
+        "weights": [float(x) for x in model.coefficients],
+        "bias": float(model.intercept),
+    }
+    return model, weights
