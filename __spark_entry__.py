@@ -902,6 +902,31 @@ def q_summary(spark, sf_dir):
     )
 
 
+def q_windowed_metrics(spark, sf_dir):
+    """T7/T8 windowed per-host crawl metrics (same operator the
+    streaming path uses; watermarking is a no-op on batch input).
+    Hosts/status/fetch_ms synthesized from events by construction."""
+    from horseman_article_parser_spark.streaming.frontier_stream import (
+        windowed_host_metrics,
+    )
+
+    ev = _load(_prep(spark), sf_dir, "events")
+    events = ev.select(
+        F.col("ts").alias("event_time"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(F.col("event_type") == "error", 500).otherwise(200).alias("status"),
+        F.floor(F.col("value") * 100).cast("int").alias("fetch_ms"),
+    )
+    out = windowed_host_metrics(events, window_duration="1 hour",
+                                watermark="2 hours")
+    return out.select(
+        F.unix_timestamp("window_start").alias("win_start"),
+        "host", "scheduled", "ok", "err",
+        F.round(F.col("avg_ms"), 4).alias("avg_ms"),
+    )
+
+
 def q_crawl_two_rounds(spark, sf_dir):
     """Two scheduling rounds of the full crawl loop (synthetic web,
     bloom seen-filter, politeness, priority waves) — rows-only check;
@@ -1000,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         # events
         "event_hourly": q_event_hourly,
+        "windowed_metrics": q_windowed_metrics,
         "sessionize": q_sessionize,
         "retry_backoff": q_retry_backoff,
         # relational breadth
@@ -1467,6 +1493,15 @@ GROUP BY label, d
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n,
        sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_x100
+FROM events GROUP BY 1, 2
+""".strip(),
+        "windowed_metrics": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+       'h' || (user_id % 5) || '.example.com' AS host,
+       count(*) AS scheduled,
+       sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS ok,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+       round(avg(CAST(floor(value * 100) AS INT)), 4) AS avg_ms
 FROM events GROUP BY 1, 2
 """.strip(),
         "sessionize": """

@@ -1,0 +1,113 @@
+"""§2.9 Structured Streaming: seed ingestion micro-batches, seen-filter
+idempotence across batches, watermarked windowed metrics."""
+
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from horseman_article_parser_spark.datagen.frontier import build_seed_frontier
+from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+from horseman_article_parser_spark.streaming.frontier_stream import (
+    StreamingSeedIngest,
+    windowed_host_metrics,
+)
+
+
+def _mk_scheduler(spark, tmp_path):
+    cfg = CrawlConfig(wave_size=20, round0_limit=20, default_host_budget=5,
+                      n_shards=4, total_bloom_bits=1 << 16)
+    sched = CrawlScheduler(spark, str(tmp_path / "store"), cfg)
+    sched.init_from_seeds(build_seed_frontier(spark, 10))
+    return sched
+
+
+def test_streaming_seed_ingest_dedups_across_batches(spark, tmp_path):
+    sched = _mk_scheduler(spark, tmp_path)
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    pending_before = sched.store.read(spark, "pending", sched.store.last_round())
+    n0 = pending_before.count()
+    seen_urls = {r.url for r in pending_before.select("url").collect()}
+    dup = next(iter(seen_urls))
+
+    (seeds_dir / "batch1.txt").write_text(
+        "https://newhost1.example/story-a\n"
+        "https://newhost2.example/story-b\n"
+        f"{dup}\n"           # already claimed at init -> must not re-enter
+        "# comment line\n"
+        "ftp://bad.example/x.zip\n"  # skip-filtered at ingest
+    )
+    ingest = StreamingSeedIngest(sched)
+    q = ingest.start(str(seeds_dir), ckpt)
+    q.processAllAvailable()
+
+    (seeds_dir / "batch2.txt").write_text(
+        "https://newhost1.example/story-a\n"   # dup of batch1 -> bloom-claimed
+        "https://newhost3.example/story-c\n"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    pending = sched.store.read(spark, "pending", sched.store.last_round())
+    urls = [r.url for r in pending.collect()]
+    assert len(urls) == n0 + 3
+    assert "https://newhost1.example/story-a" in urls
+    assert "https://newhost3.example/story-c" in urls
+    assert urls.count("https://newhost1.example/story-a") == 1
+    # streamed seeds are schedulable: next round must run fine
+    m = sched.run_round(0)
+    assert m["scheduled"] > 0
+
+
+def test_streamed_seeds_have_deterministic_seq(spark, tmp_path):
+    sched = _mk_scheduler(spark, tmp_path)
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    (seeds_dir / "b.txt").write_text(
+        "https://zz.example/b\nhttps://aa.example/a\nhttps://mm.example/m\n"
+    )
+    ingest = StreamingSeedIngest(sched)
+    q = ingest.start(str(seeds_dir), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    pending = sched.store.read(spark, "pending", sched.store.last_round())
+    new = pending.filter(F.col("seq") >= (1 << 60)).orderBy("seq").collect()
+    # seq rank order == url lexicographic order within the batch
+    assert [r.url for r in new] == sorted(r.url for r in new)
+
+
+def test_windowed_host_metrics_with_watermark(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        ("2026-01-01 00:00:05", "h1.x", 200, 120),
+        ("2026-01-01 00:00:20", "h1.x", 404, 80),
+        ("2026-01-01 00:00:40", "h2.x", 200, 100),
+        ("2026-01-01 00:01:10", "h1.x", 200, 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, host string, status int, fetch_ms int"
+    ).select(F.col("ts").cast("timestamp").alias("event_time"), "host", "status", "fetch_ms")
+    df.write.parquet(str(src / "p0"))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src) + "/*")
+    agg = windowed_host_metrics(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("host_metrics")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "mckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start.strftime("%H:%M"), r.host): (r.scheduled, r.ok, r.err)
+        for r in spark.sql("SELECT * FROM host_metrics").collect()
+    }
+    assert got[("00:00", "h1.x")] == (2, 1, 1)
+    assert got[("00:00", "h2.x")] == (1, 1, 0)
+    assert got[("00:01", "h1.x")] == (1, 1, 0)
