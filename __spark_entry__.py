@@ -810,6 +810,99 @@ def q_spellcheck(spark, sf_dir):
     )
 
 
+def q_error_classify(spark, sf_dir):
+    """X22 error classification over synthesized fetch-error messages."""
+    from horseman_article_parser_spark.functions.urls import classify_error_col
+
+    docs = _load(_prep(spark), sf_dir, "documents")
+    msg = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Navigation Timeout exceeded"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("HTTP 403 Forbidden"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("GDPR consent wall detected"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("Execution context was destroyed"))
+        .otherwise(F.lit("boom"))
+    )
+    return docs.select(
+        "doc_id", msg.alias("msg"), classify_error_col(msg).alias("family")
+    )
+
+
+def q_url_rewrites(spark, sf_dir):
+    """F6 prefix URL rewrites (first matching rule wins)."""
+    from horseman_article_parser_spark.functions.urls import apply_url_rewrites_col
+
+    fr = _frontier(_prep(spark), sf_dir)
+    rules = [
+        ("https://src0.example.com/", "https://mirror0.example.net/"),
+        ("https://src1.example.com/en/", "https://src1.example.com/english/"),
+    ]
+    return fr.select(
+        "seq", "url", apply_url_rewrites_col("url", rules).alias("rewritten")
+    )
+
+
+_ENT_NAMES1 = ["Alan Brooke", "Beth Carter", "Carl Dennis", "Dora Evans",
+               "Evan Foster", "Fay Garner", "Gus Harper", "Ivy Jones"]
+_ENT_NAMES2 = ["Alice Johnson", "Bob Smith", "Carol White", "Dan Young",
+               "Elsa King", "Fred Long", "Gina Moore", "Hank Nolan"]
+
+
+def _entity_text_col():
+    n1 = F.array(*[F.lit(x) for x in _ENT_NAMES1])
+    n2 = F.array(*[F.lit(x) for x in _ENT_NAMES2])
+    i = (F.col("doc_id") % 8 + 1).cast("int")
+    j = ((F.col("doc_id") + 1) % 8 + 1).cast("int")
+    return F.concat(
+        F.lit("Mr "), F.element_at(n1, i), F.lit(" visited Paris. "),
+        F.lit("Google's team met "), F.element_at(n2, i),
+        F.lit(" Senior Product Manager for Slack. "),
+        F.lit("However "), F.element_at(n1, j),
+        F.lit(" said the United Kingdom's plan works."),
+    )
+
+
+def q_entities(spark, sf_dir):
+    """N2 entity cascade (possessive strip, honorific merge, job-title
+    trim, discourse-starter strip, gazetteer classification, dedupe)
+    over by-construction sentences — exact relational oracle."""
+    from horseman_article_parser_spark.operators.entities import entities_exploded
+
+    docs = _load(_prep(spark), sf_dir, "documents").select(
+        "doc_id", _entity_text_col().alias("text")
+    )
+    return entities_exploded(docs).select("doc_id", "kind", "pos", "entity")
+
+
+def _entities_oracle_sql() -> str:
+    def case_of(names, shift):
+        whens = " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(names))
+        return f"(CASE (doc_id + {shift}) % 8 {whens} END)"
+
+    c1 = case_of(_ENT_NAMES1, 0)
+    c1n = case_of(_ENT_NAMES1, 1)
+    c2 = case_of(_ENT_NAMES2, 0)
+    rows = [
+        ("people", 0, f"'Mr ' || {c1}"),
+        ("people", 1, c2),
+        ("people", 2, c1n),
+        ("places", 0, "'Paris'"),
+        ("places", 1, "'United Kingdom'"),
+        ("orgs", 0, "'Google'"),
+        ("orgs", 1, "'Slack'"),
+        ("topics", 0, f"'Mr ' || {c1}"),
+        ("topics", 1, "'Paris'"),
+        ("topics", 2, "'Google'"),
+        ("topics", 3, c2),
+        ("topics", 4, "'Slack'"),
+        ("topics", 5, c1n),
+        ("topics", 6, "'United Kingdom'"),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{k}' AS kind, {p} AS pos, {e} AS entity FROM documents"
+        for k, p, e in rows
+    )
+
+
 def q_content_candidates(spark, sf_dir):
     """A6/W1/W2: candidate feature extraction + heuristic ranking over
     the synthetic pages. Oracle covers the by-construction fields (the
@@ -1009,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_topk": q_keywords_topk,
         "normalize_entity": q_normalize_entity,
         "spellcheck": q_spellcheck,
+        "entities": q_entities,
+        "error_classify": q_error_classify,
+        "url_rewrites": q_url_rewrites,
         "content_candidates": q_content_candidates,
         "reranker_train": q_reranker_train,
         # dedup (training-pipeline ops)
@@ -1390,6 +1486,29 @@ SELECT p_partkey,
                                  '\\s+', ' ', 'g'))) AS normalized
 FROM part
 """.strip(),
+        "error_classify": """
+SELECT doc_id,
+       (CASE doc_id % 5 WHEN 0 THEN 'Navigation Timeout exceeded'
+             WHEN 1 THEN 'HTTP 403 Forbidden'
+             WHEN 2 THEN 'GDPR consent wall detected'
+             WHEN 3 THEN 'Execution context was destroyed'
+             ELSE 'boom' END) AS msg,
+       (CASE doc_id % 5 WHEN 0 THEN 'timeout' WHEN 1 THEN 'forbidden'
+             WHEN 2 THEN 'consent' WHEN 3 THEN 'context'
+             ELSE 'generic' END) AS family
+FROM documents
+""".strip(),
+        "url_rewrites": f"""
+WITH {FRONTIER_CTE}
+SELECT seq, url,
+       (CASE WHEN url LIKE 'https://src0.example.com/%'
+             THEN 'https://mirror0.example.net/' || substr(url, 26)
+             WHEN url LIKE 'https://src1.example.com/en/%'
+             THEN 'https://src1.example.com/english/' || substr(url, 29)
+             ELSE url END) AS rewritten
+FROM frontier
+""".strip(),
+        "entities": _entities_oracle_sql(),
         "content_candidates": """
 SELECT doc_id,
        '/HTML/BODY/ARTICLE' AS xpath,

@@ -74,8 +74,13 @@ def _rng_for(url: str) -> np.random.RandomState:
     return np.random.RandomState(stable_hash(url) % (2**31 - 1))
 
 
-def page_spec(url: str, n_hosts: int = N_HOSTS_DEFAULT) -> dict:
-    """Deterministic page spec with ground-truth extraction fields."""
+def page_spec(url: str, n_hosts: int = N_HOSTS_DEFAULT, scale: int = 1) -> dict:
+    """Deterministic page spec with ground-truth extraction fields.
+
+    `scale` multiplies content volume (paragraphs ×scale, links ×up to
+    4) to approximate real article pages (30-100 KB) for throughput
+    benchmarking; scale=1 (default) keeps the original small fixtures
+    that every parity test pins."""
     parsed = parse_article_url(url)
     h = stable_hash(url)
     if parsed is None or h % 50 == 7:
@@ -90,14 +95,14 @@ def page_spec(url: str, n_hosts: int = N_HOSTS_DEFAULT) -> dict:
     title = " ".join(title_words)
     site = f"Host{host_k} News"
 
-    n_paras = int(3 + rng.randint(0, 6))
+    n_paras = int(3 + rng.randint(0, 6)) * max(1, scale)
     paragraphs = [
         " ".join(rng.choice(VOCAB, size=int(18 + rng.randint(0, 25)))).capitalize() + "."
         for _ in range(n_paras)
     ]
 
     # --- out-links (DOM order), mixed relative/absolute + junk ---
-    n_links = int(4 + rng.randint(0, 7))
+    n_links = int(4 + rng.randint(0, 7)) * min(max(1, scale), 4)
     links: list[dict] = []
     for j in range(n_links):
         r = rng.randint(0, 100)
@@ -245,9 +250,9 @@ def render_html(spec: dict) -> str:
 </body></html>"""
 
 
-def fetch_page(url: str, n_hosts: int = N_HOSTS_DEFAULT) -> tuple[int, str]:
+def fetch_page(url: str, n_hosts: int = N_HOSTS_DEFAULT, scale: int = 1) -> tuple[int, str]:
     """The deterministic 'network': status + HTML for any URL."""
-    spec = page_spec(url, n_hosts)
+    spec = page_spec(url, n_hosts, scale=scale)
     return spec["status"], render_html(spec)
 
 

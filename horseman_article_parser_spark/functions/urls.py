@@ -234,3 +234,36 @@ def amp_candidates_udf(urls: Iterator[pd.Series]) -> Iterator[pd.Series]:
     (/root/reference/index.js:325-334)."""
     for s in urls:
         yield s.map(amp_candidates, na_action="ignore")
+
+
+# ---------------------------------------------------------------- X22 / F6
+
+
+def classify_error_col(msg: Column | str) -> Column:
+    """X22 classifyError (/root/reference/scripts/batch-sample-run.js:163-170):
+    first matching family wins — timeout → forbidden → consent → context
+    → generic. Pure when/rlike chain (whole-stage codegen)."""
+    s = F.lower(F.coalesce(F.col(msg) if isinstance(msg, str) else msg, F.lit("")))
+    return (
+        F.when(s.rlike("timeout"), "timeout")
+        .when(s.rlike("403|forbidden"), "forbidden")
+        .when(s.rlike("consent|cookie|gdpr"), "consent")
+        .when(
+            s.rlike("execution context|detached frame|session closed|target closed"),
+            "context",
+        )
+        .otherwise("generic")
+    )
+
+
+def apply_url_rewrites_col(url: Column | str, rewrites: list[tuple[str, str]]) -> Column:
+    """F6 applyUrlRewrites (/root/reference/scripts/inc/applyDomainTweaks.js:102-112):
+    first matching prefix rule rewrites; others ignored. The rule list is
+    config (literals folded by Catalyst), not data."""
+    u = F.col(url) if isinstance(url, str) else url
+    out = None
+    for from_, to in rewrites:
+        cond = u.startswith(from_)
+        repl = F.concat(F.lit(to), F.substring(u, len(from_) + 1, 1 << 30))
+        out = F.when(cond, repl) if out is None else out.when(cond, repl)
+    return u if out is None else out.otherwise(u)

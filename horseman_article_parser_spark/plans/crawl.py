@@ -39,7 +39,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..datagen.synthweb import fetch_page
 from ..functions.urls import canonicalize_url_udf, skip_col
-from ..operators.extract import extract_articles
 from ..operators.frontier_ops import (
     build_wave0,
     ordered_zip_with_index,
@@ -75,6 +74,14 @@ class CrawlConfig:
     max_depth: int = 8
     n_hosts: int = 50
     fetch_partitions: int | None = None
+    # synthetic-page content multiplier (datagen.synthweb.page_spec):
+    # 1 = small parity fixtures; ~20 ≈ realistic 30 KB article pages
+    # for throughput/scaling benchmarks.
+    fetch_scale: int = 1
+    # simulated network RTT per URL (ms) for benchmark realism — real
+    # fetches are latency-bound (the reference budgets 20-40 s/URL,
+    # /root/reference/helpers.js:7); 0 disables.
+    fetch_rtt_ms: float = 0.0
     # driver-side lineage counts (links extracted / new URLs) cost one
     # extra Spark job each per round; the per-host metrics TABLE is
     # always written regardless — this only gates the console numbers.
@@ -99,7 +106,20 @@ class CrawlScheduler:
         self.store = CrawlStore(store_dir)
         self.robots = robots
         self.budgets = host_budgets(robots)
-        self.fetch_fn = fetch_fn or fetch_page
+        if fetch_fn is not None:
+            self.fetch_fn = fetch_fn
+        elif self.config.fetch_scale != 1 or self.config.fetch_rtt_ms > 0:
+            scale = self.config.fetch_scale
+            rtt_s = self.config.fetch_rtt_ms / 1000.0
+
+            def _fetch(u: str) -> tuple[int, str]:
+                if rtt_s > 0:
+                    time.sleep(rtt_s)
+                return fetch_page(u, scale=scale)
+
+            self.fetch_fn = _fetch
+        else:
+            self.fetch_fn = fetch_page
         if self.config.seen_mode == "bloom":
             self.seen = BloomSeenFilter(
                 store_dir,
@@ -139,21 +159,37 @@ class CrawlScheduler:
 
     # ------------------------------------------------------------ round
 
-    def _fetch(self, wave: DataFrame) -> DataFrame:
+    def _fetch_extract(self, wave: DataFrame) -> DataFrame:
+        """Fetch + article extraction FUSED into one Arrow crossing.
+
+        Two chained mapInPandas stages would run two Python workers per
+        task with a JVM relay between them (2 × parallelism concurrent
+        CPython processes and a double Arrow round-trip of the raw
+        html); fusing them halves the worker count and ships html
+        JVM→Python exactly once — html never returns to the JVM at all,
+        only the narrow article struct does (results persist the struct;
+        the raw page is re-fetchable by URL)."""
+        from ..operators.extract import ARTICLE_STRUCT, extract_article
+
         fetch_fn = self.fetch_fn
         parts = self.config.fetch_partitions or self.spark.sparkContext.defaultParallelism
         schema = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in wave.schema.fields
-        ) + ", `status` int, `html` string"
+        ) + f", `status` int, `article` {ARTICLE_STRUCT.simpleString()}"
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
                     continue
                 pdf = pdf.copy()
-                results = [fetch_fn(u) for u in pdf["url"]]
-                pdf["status"] = [r[0] for r in results]
-                pdf["html"] = [r[1] for r in results]
+                status = []
+                articles = []
+                for u in pdf["url"]:
+                    st, html = fetch_fn(u)
+                    status.append(st)
+                    articles.append(extract_article(u, html))
+                pdf["status"] = status
+                pdf["article"] = articles
                 yield pdf
 
         return wave.repartition(parts).mapInPandas(run, schema=schema)
@@ -190,10 +226,9 @@ class CrawlScheduler:
         self.store.write(wave.orderBy("pos"), "waves", round_no)
         t = _mark("wave_select", t0)
 
-        # --- fetch + extract (one Arrow crossing each)
-        fetched = self._fetch(wave)
-        articles = extract_articles(fetched).persist()
-        self.store.write(articles.drop("html"), "results", round_no)
+        # --- fetch + extract (ONE fused Arrow crossing)
+        articles = self._fetch_extract(wave).persist()
+        self.store.write(articles, "results", round_no)
         t = _mark("fetch_extract", t)
 
         # --- link expansion → canonicalize → filter → dedup → claim

@@ -1,0 +1,111 @@
+"""N2 entity-cascade parity — scenarios mirrored from the reference's
+own suite (/root/reference/tests/entityParser.test.js)."""
+
+import pyspark.sql.functions as F
+
+from horseman_article_parser_spark.operators.entities import (
+    entities_exploded,
+    extract_entities,
+    strip_possessive,
+)
+
+
+def test_possessive_strip_simple():
+    # entityParser.test.js:20-29
+    res = extract_entities(
+        "Angela's phone was found in Paris's museum run by Google's team"
+    )
+    assert res["people"] == ["Angela"]
+    assert res["places"] == ["Paris"]
+    assert res["orgs"] == ["Google"]
+    for arr in res.values():
+        assert not any(p.endswith("'s") for p in arr)
+
+
+def test_possessive_multiword_people_with_honorifics():
+    # entityParser.test.js:31-37
+    res = extract_entities("Mr Trump's visit impressed Mrs May's supporters")
+    assert "Mr Trump" in res["people"]
+    assert "Mrs May" in res["people"]
+
+
+def test_possessive_multiword_place_with_the():
+    # entityParser.test.js:39-46
+    res = extract_entities("The United States's economy continues to grow")
+    assert "United States" in res["places"]
+    assert "United States" in res["topics"]
+
+
+def test_job_title_tail_trimmed():
+    # entityParser.test.js:48-59 + 62-69
+    res = extract_entities(
+        "Our gratitude goes to Alice Johnson Senior Product Manager for Slack "
+        "and Bob Smith Founder and CEO of Example Corp."
+    )
+    assert "Alice Johnson" in res["people"]
+    assert "Bob Smith" in res["people"]
+    assert not any("Senior" in p or "Founder" in p for p in res["people"])
+
+
+def test_discourse_starter_stripped():
+    # entityParser.test.js:72-77
+    res = extract_entities("However Hannah Aldridge said the plan would help.")
+    assert "Hannah Aldridge" in res["people"]
+    assert not any(p.startswith("However") for p in res["people"])
+
+
+def test_possessive_place_trailing_punct():
+    # entityParser.test.js:79-85
+    res = extract_entities("He returned from New Zealand's.")
+    assert "New Zealand" in res["places"]
+    assert not any("'" in p for p in res["places"])
+
+
+def test_hyphenated_names_and_dedupe():
+    # entityParser.test.js:87-91 + A12 first-occurrence dedupe
+    res = extract_entities("Jean-Luc Picard met Jean-Luc Picard")
+    assert res["people"] == ["Jean-Luc Picard"]
+
+
+def test_adjacent_first_names_split_with_hints():
+    # entityParser.test.js:93-98 (secondary hints)
+    res = extract_entities(
+        "John Mary arrived together.",
+        hints={"secondary": {"people": ["John", "Mary"]}},
+    )
+    assert res["people"] == ["John", "Mary"]
+
+
+def test_acknowledgement_list_and_subname_suppression():
+    # entityParser.test.js:124-141: initials normalized (A. -> A),
+    # single-word sub-names of longer names suppressed
+    text = (
+        "Acknowledgements: Borja Balle, Zachary Charles, "
+        "Christopher A. Choquette-Choo, Lynn Chua, Badih Ghazi, Da Yu, "
+        "Chiyuan Zhang."
+    )
+    res = extract_entities(text)
+    for name in ["Borja Balle", "Zachary Charles", "Christopher A Choquette-Choo",
+                 "Lynn Chua", "Badih Ghazi", "Da Yu", "Chiyuan Zhang"]:
+        assert name in res["people"], name
+    assert "Christopher" not in res["people"]
+
+
+def test_strip_possessive_unit():
+    assert strip_possessive("Paris's") == "Paris"
+    assert strip_possessive("New Zealand's.") == "New Zealand"
+    assert strip_possessive("Angela’s") == "Angela"
+
+
+def test_entities_exploded_dataframe(spark):
+    docs = spark.createDataFrame(
+        [(0, "Mr Trump's visit to Paris pleased Google."),
+         (1, None)],
+        "doc_id long, text string",
+    )
+    rows = entities_exploded(docs).collect()
+    got = {(r.doc_id, r.kind, r.entity) for r in rows}
+    assert (0, "people", "Mr Trump") in got
+    assert (0, "places", "Paris") in got
+    assert (0, "orgs", "Google") in got
+    assert not any(r.doc_id == 1 for r in rows)
