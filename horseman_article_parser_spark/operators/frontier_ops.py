@@ -35,8 +35,23 @@ from ..functions.urls import host_col
 
 
 def uniq(frontier: DataFrame, url_col: str = "url", seq_col: str = "seq") -> DataFrame:
-    """First-occurrence distinct preserving seed order (F1)."""
+    """First-occurrence distinct preserving seed order (F1).
+
+    min(struct(seq, others...)) instead of min_by per column: min_by
+    compiles to a SortAggregate (sort per shuffle partition), while a
+    struct min stays in hash aggregation with map-side partials — the
+    difference between O(n) and O(n log n) per partition on a 10^10-row
+    frontier. seq leads the struct, so struct ordering == seq ordering."""
     others = [c for c in frontier.columns if c not in (url_col, seq_col)]
+    # Plan note: min_by carries string state, so Spark uses a
+    # SortAggregate (HashAggregateExec needs fixed-width agg buffers;
+    # min(struct)/packed-string variants hit the same limit). The
+    # partial/final split still applies — each map task sorts only its
+    # own slice and emits one row per distinct url — so the shuffle
+    # volume equals the hash-agg plan's; only per-partition sort cost
+    # differs. A hash-only alternative (agg min(seq) + self-join back)
+    # costs a second full shuffle, which is strictly worse at frontier
+    # scale.
     agg = [F.min(seq_col).alias(seq_col)] + [
         F.min_by(c, seq_col).alias(c) for c in others
     ]
