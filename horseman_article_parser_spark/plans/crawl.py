@@ -126,6 +126,17 @@ class CrawlScheduler:
                 n_shards=self.config.n_shards,
                 total_bits=self.config.total_bloom_bits,
             )
+        elif self.config.seen_mode == "cuckoo":
+            from ..operators.seen_filter import CuckooSeenFilter
+
+            # ~same memory as the bloom config: buckets*4 slots*2B per shard
+            self.seen = CuckooSeenFilter(
+                store_dir,
+                n_shards=self.config.n_shards,
+                buckets_per_shard=max(
+                    1024, self.config.total_bloom_bits // (self.config.n_shards * 64)
+                ),
+            )
         else:
             self.seen = ExactSeenFilter(store_dir)
 

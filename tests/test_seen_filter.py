@@ -51,3 +51,55 @@ def test_bloom_resume_and_fp_rate(spark, tmp_store):
     claimed = g.claim_unseen(_df(spark, fresh)).count()
     fp_rate = 1.0 - claimed / len(fresh)
     assert fp_rate < 0.01, f"bloom FP rate too high: {fp_rate}"
+
+
+def test_cuckoo_claim_release_resume(spark, tmp_store):
+    from horseman_article_parser_spark.operators.seen_filter import CuckooSeenFilter
+
+    f = CuckooSeenFilter(tmp_store, n_shards=8, buckets_per_shard=1 << 10)
+    urls1 = [f"https://h{i % 20}.x/c-{i}" for i in range(500)]
+    got1 = {r["url"] for r in f.claim_unseen(_df(spark, urls1)).collect()}
+    assert got1 == set(urls1)
+    # no false negatives on re-claim
+    got2 = {r["url"] for r in f.claim_unseen(_df(spark, urls1)).collect()}
+    assert got2 == set()
+    # deletion: released URLs become claimable again (bloom cannot)
+    released = {r["url"] for r in f.release(_df(spark, urls1[:50])).collect()}
+    assert released == set(urls1[:50])
+    got3 = {r["url"] for r in f.claim_unseen(_df(spark, urls1[:60])).collect()}
+    assert set(urls1[:50]) <= got3  # the released 50 re-claim
+    assert got3 <= set(urls1[:60])
+    # resume from disk
+    g = CuckooSeenFilter(tmp_store, n_shards=8, buckets_per_shard=1 << 10)
+    g.resume()
+    got4 = {r["url"] for r in g.claim_unseen(_df(spark, urls1)).collect()}
+    assert got4 == set()
+
+
+def test_cuckoo_fp_rate_bounded(spark, tmp_store):
+    from horseman_article_parser_spark.operators.seen_filter import CuckooSeenFilter
+
+    f = CuckooSeenFilter(tmp_store, n_shards=8, buckets_per_shard=1 << 10)
+    ins = [f"https://h{i % 50}.x/i-{i}" for i in range(3000)]
+    f.claim_unseen(_df(spark, ins))
+    probe = [f"https://h{i % 50}.x/new-{i}" for i in range(3000)]
+    claimed = f.claim_unseen(_df(spark, probe)).count()
+    fp_rate = 1 - claimed / len(probe)
+    # 16-bit fingerprints, 4-slot buckets at ~9% load: FP ~ 2*4/2^16
+    assert fp_rate < 0.01, fp_rate
+
+
+def test_crawl_scheduler_with_cuckoo(spark, tmp_store):
+    from horseman_article_parser_spark.datagen.frontier import build_seed_frontier
+    from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+
+    cfg = CrawlConfig(wave_size=20, round0_limit=20, default_host_budget=3,
+                      n_shards=8, seen_mode="cuckoo")
+    sched = CrawlScheduler(spark, tmp_store, cfg)
+    sched.init_from_seeds(build_seed_frontier(spark, 60))
+    m0 = sched.run_round(0)
+    m1 = sched.run_round(1)
+    assert m0["scheduled"] == 20 and m1["scheduled"] > 0
+    w0 = {r.url for r in sched.store.read(spark, "waves", 0).collect()}
+    w1 = {r.url for r in sched.store.read(spark, "waves", 1).collect()}
+    assert not (w0 & w1)
