@@ -995,6 +995,43 @@ def q_summary(spark, sf_dir):
     )
 
 
+def q_liveblog(spark, sf_dir):
+    """A13 liveblog harvest over by-construction pages: even docs carry
+    6 timestamped updates (collect all, emit top 5); odd docs are plain
+    articles (rejected)."""
+    from horseman_article_parser_spark.operators.liveblog import liveblog_summaries
+
+    docs = _load(_prep(spark), sf_dir, "documents")
+    body = F.rpad(F.substring("text", 1, 40), 80, "x")
+    entry = lambda j: F.concat(  # noqa: E731
+        F.lit(f'<div class="update"><time>{j}:00</time><h2>Update title number {j}</h2><p>'),
+        body, F.lit("</p></div>"),
+    )
+    live_html = F.concat(
+        F.lit("<html><body><article>"),
+        *[entry(j) for j in range(6)],
+        F.lit("</article></body></html>"),
+    )
+    plain_html = F.concat(
+        F.lit("<html><body><article><p>"), F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, live_html).otherwise(plain_html).alias("html"),
+    )
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    out = liveblog_summaries(pages)
+    e1 = F.try_element_at(F.col("liveblog.entries"), F.lit(1))
+    return out.select(
+        "doc_id",
+        F.col("liveblog.ok").alias("ok"),
+        F.col("liveblog.count").alias("n_entries"),
+        e1["time"].alias("first_time"),
+        e1["title"].alias("first_title"),
+    )
+
+
 def q_windowed_metrics(spark, sf_dir):
     """T7/T8 windowed per-host crawl metrics (same operator the
     streaming path uses; watermarking is a no-op on batch input).
@@ -1122,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events
         "event_hourly": q_event_hourly,
         "windowed_metrics": q_windowed_metrics,
+        "liveblog": q_liveblog,
         "sessionize": q_sessionize,
         "retry_backoff": q_retry_backoff,
         # relational breadth
@@ -1613,6 +1651,14 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n,
        sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_x100
 FROM events GROUP BY 1, 2
+""".strip(),
+        "liveblog": """
+SELECT doc_id,
+       (doc_id % 2 = 0) AS ok,
+       (CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 0 END) AS n_entries,
+       (CASE WHEN doc_id % 2 = 0 THEN '0:00' END) AS first_time,
+       (CASE WHEN doc_id % 2 = 0 THEN 'Update title number 0' END) AS first_title
+FROM documents
 """.strip(),
         "windowed_metrics": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
