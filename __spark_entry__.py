@@ -995,6 +995,64 @@ def q_summary(spark, sf_dir):
     )
 
 
+def q_text_render(spark, sf_dir):
+    """X10 raw/formatted/html text renderings — exact string oracle over
+    by-construction pages (raw drops figures+URLs and joins sentences;
+    formatted uppercases title+headings; html span-wraps lines)."""
+    from horseman_article_parser_spark.operators.textrender import render_texts
+
+    docs = _load(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><article><h2>Heading "), d,
+        F.lit("</h2><p>Alpha "), F.col("text"),
+        F.lit(".</p><figure><figcaption>Cap "), d,
+        F.lit("</figcaption></figure><p>Beta body "), d,
+        F.lit(" ends.</p></article></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id", html.alias("html"),
+        F.concat(F.lit("Story "), d).alias("title"),
+    )
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    out = render_texts(pages, title_col="title")
+    return out.select(
+        "doc_id",
+        F.col("texts.raw").alias("raw"),
+        F.col("texts.formatted").alias("formatted"),
+        F.col("texts.html").alias("html_text"),
+    )
+
+
+def q_striptags(spark, sf_dir):
+    """F7 selector strip — exact serialized-DOM oracle."""
+    from horseman_article_parser_spark.operators.textrender import strip_tags
+    from pyspark.sql.types import StringType
+
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><div class="promo">AD '), d,
+        F.lit('</div><aside>side</aside><p id="keep">Keep '), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # lambda + explicit SCALAR type: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf cannot resolve here
+    strip_udf = pandas_udf(
+        lambda h: pd.Series([strip_tags(x, ["aside", ".promo"]) for x in h]),
+        StringType(),
+        PandasUDFType.SCALAR,
+    )
+
+    pages = docs.select("doc_id", html.alias("html"))
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    return pages.select("doc_id", strip_udf("html").alias("stripped"))
+
+
 def q_liveblog(spark, sf_dir):
     """A13 liveblog harvest over by-construction pages: even docs carry
     6 timestamped updates (collect all, emit top 5); odd docs are plain
@@ -1160,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly": q_event_hourly,
         "windowed_metrics": q_windowed_metrics,
         "liveblog": q_liveblog,
+        "text_render": q_text_render,
+        "striptags": q_striptags,
         "sessionize": q_sessionize,
         "retry_backoff": q_retry_backoff,
         # relational breadth
@@ -1651,6 +1711,25 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n,
        sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_x100
 FROM events GROUP BY 1, 2
+""".strip(),
+        "text_render": """
+WITH f AS (
+  SELECT doc_id,
+         'STORY ' || doc_id || chr(10) || chr(10) ||
+         'HEADING ' || doc_id || chr(10) || chr(10) ||
+         'Alpha ' || text || '.' || chr(10) || chr(10) ||
+         'Cap ' || doc_id || chr(10) || chr(10) ||
+         'Beta body ' || doc_id || ' ends.' AS formatted,
+         'Heading ' || doc_id || '. Alpha ' || text || '. Beta body ' || doc_id || ' ends.' AS raw
+  FROM documents)
+SELECT doc_id, raw, formatted,
+       '<span>' || replace(formatted, chr(10), '</span>' || chr(10) || '<span>') || '</span>' AS html_text
+FROM f
+""".strip(),
+        "striptags": """
+SELECT doc_id,
+       '<html><body><p id="keep">Keep ' || text || '</p></body></html>' AS stripped
+FROM documents
 """.strip(),
         "liveblog": """
 SELECT doc_id,

@@ -147,6 +147,27 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+def to_html(node: "Element | str") -> str:
+    """Serialize a node back to HTML (attribute values escaped, text
+    passed through as parsed — entities were already decoded)."""
+    from html import escape
+
+    if isinstance(node, str):
+        return escape(node, quote=False)
+    parts = []
+    if node.tag != "#document":
+        attrs = "".join(
+            f' {k}' if v is None else f' {k}="{escape(str(v))}"'
+            for k, v in node.attrs.items()
+        )
+        parts.append(f"<{node.tag}{attrs}>")
+    for child in node.children:
+        parts.append(to_html(child))
+    if node.tag != "#document" and node.tag not in _VOID:
+        parts.append(f"</{node.tag}>")
+    return "".join(parts)
+
+
 def parse_html(html: str) -> Element:
     builder = _TreeBuilder()
     try:
@@ -164,4 +185,4 @@ def get_by_id(root: Element, node_id: str) -> Element | None:
     return None
 
 
-__all__ = ["Element", "parse_html", "clean_ws", "get_by_id", "unescape"]
+__all__ = ["Element", "parse_html", "clean_ws", "get_by_id", "to_html", "unescape"]
