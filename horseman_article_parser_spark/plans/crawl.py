@@ -86,10 +86,29 @@ class CrawlConfig:
     # extra Spark job each per round; the per-host metrics TABLE is
     # always written regardless — this only gates the console numbers.
     lineage_counts: bool = True
+    # T5 retry ladder: re-queue non-200 fetches with attempt+1 and a
+    # linear round backoff (not_before = round + 1 + attempt), up to
+    # max_attempts total tries. Off by default: retries extend the
+    # reference's semantics (its batch loop retries per-URL in-process),
+    # and the crawl-order parity fixtures pin the no-retry schedule.
+    retry_failed: bool = False
+    max_attempts: int = 3
     extra: dict = field(default_factory=dict)
 
 
-FRONTIER_COLS = ["url", "seq", "host", "depth", "priority"]
+FRONTIER_COLS = ["url", "seq", "host", "depth", "priority", "attempt", "not_before"]
+
+
+def _ensure_frontier_cols(df: DataFrame) -> DataFrame:
+    """Backward/forward-compatible pending schema: attempt (retry count,
+    T5) and not_before (earliest eligible round, the round-based analog
+    of the reference's linear 1000·attempt ms backoff,
+    /root/reference/scripts/batch-crawl.js:146-147) default to 0."""
+    if "attempt" not in df.columns:
+        df = df.withColumn("attempt", F.lit(0))
+    if "not_before" not in df.columns:
+        df = df.withColumn("not_before", F.lit(0).cast("long"))
+    return df
 
 
 class CrawlScheduler:
@@ -156,6 +175,8 @@ class CrawlScheduler:
             "host",
             F.lit(0).alias("depth"),
             F.lit(0.0).alias("priority"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).cast("long").alias("not_before"),
         )
         claimed = self.seen.claim_unseen(pending)
         self.store.write(claimed, "pending", -1)
@@ -216,10 +237,13 @@ class CrawlScheduler:
             timings[label] = round(now - since, 3)
             return now
 
-        pending = self.store.read(spark, "pending", round_no - 1)
+        pending = _ensure_frontier_cols(
+            self.store.read(spark, "pending", round_no - 1)
+        )
 
-        # --- wave selection: robots → politeness budget → global top-k
-        candidates = robots_filter(pending, self.robots)
+        # --- wave selection: backoff gate → robots → politeness → top-k
+        eligible = pending.filter(F.col("not_before") <= round_no)
+        candidates = robots_filter(eligible, self.robots)
         polite = enforce_host_budget(
             candidates,
             self.budgets,
@@ -288,12 +312,26 @@ class CrawlScheduler:
                     F.col("depth")
                     + F.least(F.col("pos"), F.lit(9)).cast("double") / 10.0
                 ).alias("priority"),
+                F.lit(0).alias("attempt"),
+                F.lit(0).cast("long").alias("not_before"),
             )
         ).select(*FRONTIER_COLS)
 
-        # --- next pending = (pending − wave) ∪ new
+        # --- next pending = (pending − wave) ∪ new [∪ retries]
         remaining = pending.join(wave.select("url"), on="url", how="left_anti")
         next_pending = remaining.select(*FRONTIER_COLS).unionByName(new_frontier)
+        if cfg.retry_failed:
+            # T5: failed rows re-enter with attempt+1; linear backoff in
+            # rounds mirrors the reference's 1000·attempt ms sleep
+            retries = articles.filter(
+                (F.col("status") != 200)
+                & (F.col("attempt") + 1 < cfg.max_attempts)
+            ).select(
+                "url", "seq", "host", "depth", "priority",
+                (F.col("attempt") + 1).alias("attempt"),
+                (F.lit(round_no + 1) + F.col("attempt")).cast("long").alias("not_before"),
+            )
+            next_pending = next_pending.unionByName(retries)
         self.store.write(next_pending, "pending", round_no)
         t = _mark("pending_write", t)
 

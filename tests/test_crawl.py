@@ -102,3 +102,40 @@ def test_metrics_and_results_written(spark, tmp_store):
     assert ok.count() > 0
     # extracted structs are populated for 200s
     assert ok.filter(F.col("article.title").isNotNull()).count() == ok.count()
+
+
+def test_retry_ladder_requeues_failed(spark, tmp_path):
+    """T5: non-200 fetches re-enter with attempt+1 and linear round
+    backoff, up to max_attempts; parity schedule (retry off) unchanged
+    is covered by the other tests."""
+    from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+    import pyspark.sql.functions as F
+
+    def flaky_fetch(url):
+        # one URL fails always; the rest succeed with a trivial page
+        if "bad" in url:
+            return 500, "<html><body>err</body></html>"
+        return 200, "<html><body><article><p>ok body</p></article></body></html>"
+
+    seeds = spark.createDataFrame(
+        [(f"https://h{i}.x/good-{i}", i) for i in range(4)]
+        + [("https://h9.x/bad-page", 9)],
+        "url string, seq long",
+    )
+    cfg = CrawlConfig(wave_size=10, round0_limit=10, unique_hosts_round0=False,
+                      default_host_budget=5, n_shards=4, total_bloom_bits=1 << 16,
+                      retry_failed=True, max_attempts=3)
+    sched = CrawlScheduler(spark, str(tmp_path / "s"), cfg, fetch_fn=flaky_fetch)
+    sched.init_from_seeds(seeds)
+
+    appearances = []
+    for r in range(5):
+        sched.run_round(r)
+        wave = sched.store.read(spark, "waves", r)
+        if wave.filter(F.col("url").contains("bad")).count():
+            row = wave.filter(F.col("url").contains("bad")).collect()[0]
+            appearances.append((r, row.attempt))
+    # attempt 0 at round 0; backoff not_before=1 -> round 1 (attempt 1);
+    # then not_before = 2+1 = 3 -> round 3 (attempt 2); max_attempts=3
+    # stops further retries
+    assert appearances == [(0, 0), (1, 1), (3, 2)]
