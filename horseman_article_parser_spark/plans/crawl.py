@@ -93,6 +93,13 @@ class CrawlConfig:
     # and the crawl-order parity fixtures pin the no-retry schedule.
     retry_failed: bool = False
     max_attempts: int = 3
+    # S7 AMP static race: try AMP candidate URLs first and prefer the
+    # static page when it returns 200 with >= amp_min_chars of HTML
+    # (/root/reference/index.js:322-366,485-497: prefer static when the
+    # background AMP fetch yields >=1000 chars). Adds a `source` column
+    # ('amp' | 'dynamic') to results for the A2 per-source rollup.
+    amp_static_first: bool = False
+    amp_min_chars: int = 1000
     extra: dict = field(default_factory=dict)
 
 
@@ -201,13 +208,26 @@ class CrawlScheduler:
         JVM→Python exactly once — html never returns to the JVM at all,
         only the narrow article struct does (results persist the struct;
         the raw page is re-fetchable by URL)."""
+        from ..functions.urls import amp_candidates
         from ..operators.extract import ARTICLE_STRUCT, extract_article
 
         fetch_fn = self.fetch_fn
+        amp_first = self.config.amp_static_first
+        amp_min = self.config.amp_min_chars
         parts = self.config.fetch_partitions or self.spark.sparkContext.defaultParallelism
         schema = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in wave.schema.fields
-        ) + f", `status` int, `article` {ARTICLE_STRUCT.simpleString()}"
+        ) + f", `status` int, `source` string, `article` {ARTICLE_STRUCT.simpleString()}"
+
+        def fetch_one(u: str) -> tuple[int, str, str, str]:
+            """(status, final_url, source, html) with optional AMP race."""
+            if amp_first:
+                for cu in amp_candidates(u) or []:
+                    st, html = fetch_fn(cu)
+                    if st == 200 and html and len(html) >= amp_min:
+                        return st, cu, "amp", html
+            st, html = fetch_fn(u)
+            return st, u, "dynamic", html
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -215,12 +235,15 @@ class CrawlScheduler:
                     continue
                 pdf = pdf.copy()
                 status = []
+                source = []
                 articles = []
                 for u in pdf["url"]:
-                    st, html = fetch_fn(u)
+                    st, fu, src_, html = fetch_one(u)
                     status.append(st)
-                    articles.append(extract_article(u, html))
+                    source.append(src_)
+                    articles.append(extract_article(fu, html))
                 pdf["status"] = status
+                pdf["source"] = source
                 pdf["article"] = articles
                 yield pdf
 
@@ -343,6 +366,10 @@ class CrawlScheduler:
                 F.count("*").alias("scheduled"),
                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
                 F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+                # A2 per-source rollup (amp vs dynamic,
+                # /root/reference/scripts/batch-sample-run.js:376-377)
+                F.sum(F.when(F.col("source") == "amp", 1).otherwise(0)).alias("amp"),
+                F.sum(F.when(F.col("source") == "dynamic", 1).otherwise(0)).alias("dynamic"),
             )
             .withColumn("round", F.lit(round_no))
         )

@@ -139,3 +139,37 @@ def test_retry_ladder_requeues_failed(spark, tmp_path):
     # then not_before = 2+1 = 3 -> round 3 (attempt 2); max_attempts=3
     # stops further retries
     assert appearances == [(0, 0), (1, 1), (3, 2)]
+
+
+def test_amp_static_first_race(spark, tmp_path):
+    """S7: AMP candidate preferred when it yields >= amp_min_chars;
+    source column + A2 per-source metrics rollup."""
+    from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+    import pyspark.sql.functions as F
+
+    big = "<html><body><article><p>" + "amp content " * 150 + "</p></article></body></html>"
+
+    def fetchy(url):
+        if url.endswith("/amp"):
+            # only host h0's amp variant exists
+            return (200, big) if "h0.x" in url else (404, "")
+        if "amp" in url:
+            return 404, ""
+        return 200, "<html><body><article><p>small dynamic page body</p></article></body></html>"
+
+    seeds = spark.createDataFrame(
+        [(f"https://h{i}.x/story-{i}", i) for i in range(4)], "url string, seq long"
+    )
+    cfg = CrawlConfig(wave_size=10, round0_limit=10, unique_hosts_round0=False,
+                      default_host_budget=5, n_shards=4, total_bloom_bits=1 << 16,
+                      amp_static_first=True)
+    sched = CrawlScheduler(spark, str(tmp_path / "s"), cfg, fetch_fn=fetchy)
+    sched.init_from_seeds(seeds)
+    sched.run_round(0)
+    res = sched.store.read(spark, "results", 0)
+    by_host = {r.host: r.source for r in res.select("host", "source").collect()}
+    assert by_host["h0.x"] == "amp"
+    assert all(v == "dynamic" for h, v in by_host.items() if h != "h0.x")
+    met = sched.store.read(spark, "metrics", 0)
+    agg = met.agg(F.sum("amp").alias("a"), F.sum("dynamic").alias("d")).collect()[0]
+    assert (agg.a, agg.d) == (1, 3)
