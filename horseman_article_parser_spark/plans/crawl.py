@@ -100,6 +100,15 @@ class CrawlConfig:
     # ('amp' | 'dynamic') to results for the A2 per-source rollup.
     amp_static_first: bool = False
     amp_min_chars: int = 1000
+    # T2 persistent per-host token buckets: each round a host's budget
+    # is min(cap, carried_tokens + refill) where refill is its
+    # robots-derived budget (else default_host_budget) and cap =
+    # bucket_cap_rounds * refill. Unused budget carries over — the
+    # stateful generalization of the per-wave cap (the reference has no
+    # token bucket at all; the north rule adds it). State checkpoints to
+    # host_state/<round> like every other table, so resume is exact.
+    token_buckets: bool = False
+    bucket_cap_rounds: int = 2
     extra: dict = field(default_factory=dict)
 
 
@@ -249,6 +258,44 @@ class CrawlScheduler:
 
         return wave.repartition(parts).mapInPandas(run, schema=schema)
 
+    def _token_budget_df(self, pending: DataFrame, round_no: int) -> DataFrame:
+        """(host, _budget) for this round under token-bucket semantics;
+        also stashes the availability for the post-wave state update."""
+        cfg = self.config
+        spark = self.spark
+        hosts = pending.select("host").distinct()
+        if self.budgets is not None:
+            refill_src = self.budgets.withColumnRenamed("_budget", "_refill")
+            hosts = hosts.join(F.broadcast(refill_src), "host", "left")
+        else:
+            hosts = hosts.withColumn("_refill", F.lit(None).cast("int"))
+        refill = F.coalesce(F.col("_refill"), F.lit(cfg.default_host_budget))
+        if self.store.exists("host_state", round_no - 1):
+            prev = self.store.read(spark, "host_state", round_no - 1)
+            hosts = hosts.join(prev, "host", "left")
+        else:
+            hosts = hosts.withColumn("tokens", F.lit(None).cast("long"))
+        cap = refill * cfg.bucket_cap_rounds
+        avail = F.least(cap, F.coalesce(F.col("tokens"), F.lit(0)) + refill)
+        return hosts.select(
+            "host",
+            F.greatest(F.lit(0), avail).cast("int").alias("_budget"),
+        )
+
+    def _write_host_state(self, budget_df: DataFrame, wave: DataFrame,
+                          round_no: int) -> None:
+        used = wave.groupBy("host").agg(F.count("*").alias("_used"))
+        state = (
+            budget_df.join(used, "host", "left")
+            .select(
+                "host",
+                (F.col("_budget") - F.coalesce(F.col("_used"), F.lit(0)))
+                .cast("long")
+                .alias("tokens"),
+            )
+        )
+        self.store.write(state, "host_state", round_no)
+
     def run_round(self, round_no: int) -> dict:
         cfg = self.config
         spark = self.spark
@@ -267,9 +314,14 @@ class CrawlScheduler:
         # --- wave selection: backoff gate → robots → politeness → top-k
         eligible = pending.filter(F.col("not_before") <= round_no)
         candidates = robots_filter(eligible, self.robots)
+        budget_df = (
+            self._token_budget_df(pending, round_no)
+            if cfg.token_buckets
+            else self.budgets
+        )
         polite = enforce_host_budget(
             candidates,
-            self.budgets,
+            budget_df,
             cfg.default_host_budget,
             order_cols=["priority", "seq"],
             n_salts=cfg.n_salts,
@@ -282,6 +334,8 @@ class CrawlScheduler:
         wave = wave.filter(F.col("pos") < cfg.wave_size)
         wave = wave.persist()
         self.store.write(wave.orderBy("pos"), "waves", round_no)
+        if cfg.token_buckets:
+            self._write_host_state(budget_df, wave, round_no)
         t = _mark("wave_select", t0)
 
         # --- fetch + extract (ONE fused Arrow crossing)

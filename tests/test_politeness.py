@@ -71,3 +71,40 @@ def test_budget_enforced_with_hot_host_skew(spark):
     # exact top-budget rows in (priority, seq) order survive
     hot = {r["seq"] for r in out.filter(F.col("host") == "hot.x").collect()}
     assert hot == {0, 1, 2, 3, 4}
+
+
+def test_token_buckets_accumulate_and_cap(spark, tmp_path):
+    """T2: unused per-host budget carries across rounds up to
+    bucket_cap_rounds * refill; consumed budget depletes the bucket."""
+    import pyspark.sql.functions as F
+
+    from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+
+    # host A: high priority (depth 0), host B: only 1 URL eligible early,
+    # then many — B's unused tokens accumulate while A dominates.
+    seeds = spark.createDataFrame(
+        [(f"https://a.x/p{i}", i) for i in range(8)]
+        + [(f"https://b.x/p{i}", 100 + i) for i in range(8)],
+        "url string, seq long",
+    )
+    cfg = CrawlConfig(wave_size=2, round0_limit=100, unique_hosts_round0=False,
+                      default_host_budget=2, n_shards=4, total_bloom_bits=1 << 16,
+                      token_buckets=True, bucket_cap_rounds=2)
+    sched = CrawlScheduler(spark, str(tmp_path / "s"), cfg,
+                           fetch_fn=lambda u: (200, "<html><body><p>x</p></body></html>"))
+    sched.init_from_seeds(seeds)
+    # round 0: wave_size=2 and A's seqs sort first -> A takes both slots,
+    # B starves and banks its refill
+    sched.run_round(0)
+    w0 = {r.host for r in sched.store.read(spark, "waves", 0).collect()}
+    assert w0 == {"a.x"}
+    state0 = {r.host: r.tokens for r in sched.store.read(spark, "host_state", 0).collect()}
+    assert state0["a.x"] == 0          # refill 2, used 2
+    assert state0["b.x"] == 2          # refill 2, used 0 (banked)
+    # round 1 with a larger wave: B's budget = min(cap 4, 2 + 2) = 4
+    sched.config.wave_size = 12
+    sched.run_round(1)
+    w1 = sched.store.read(spark, "waves", 1).groupBy("host").count().collect()
+    by_host = {r.host: r["count"] for r in w1}
+    assert by_host["b.x"] == 4         # accumulated two rounds of refill
+    assert by_host["a.x"] == 2         # steady refill only
