@@ -557,6 +557,11 @@ def q_keywords_topk(spark, sf_dir):
     return TS.keywords_topk(docs, k=10)
 
 
+def q_keyphrases_topk(spark, sf_dir):
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return TS.keyphrases_topk(docs, k=8)
+
+
 def q_normalize_entity(spark, sf_dir):
     part = _load(_prep(spark), sf_dir, "part")
     return part.select(
@@ -1195,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excerpt": q_excerpt,
         "summary": q_summary,
         "keywords_topk": q_keywords_topk,
+        "keyphrases_topk": q_keyphrases_topk,
         "normalize_entity": q_normalize_entity,
         "spellcheck": q_spellcheck,
         "entities": q_entities,
@@ -1563,6 +1569,27 @@ SELECT doc_id,
        (CASE WHEN length(x) > 0 THEN upper(substr(x, 1, 1)) || substr(x, 2, 1000000) END) AS excerpt
 FROM tr
 """.strip(),
+        "keyphrases_topk": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, ws[gs] || ' ' || ws[gs + 1] AS phrase
+  FROM toks, unnest(range(1, len(ws))) AS t(gs)
+), flt AS (
+  SELECT doc_id, phrase FROM grams
+  WHERE string_split(phrase, ' ')[1] NOT IN ({STOP})
+    AND string_split(phrase, ' ')[-1] NOT IN ({STOP})
+    AND length(phrase) > 3
+), tf AS (
+  SELECT doc_id, phrase, count(*) AS tf FROM flt GROUP BY doc_id, phrase
+), r AS (
+  SELECT doc_id, phrase, tf,
+         round(tf * 1.0 / max(tf) OVER (PARTITION BY doc_id), 9) AS score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, phrase ASC) AS rank
+  FROM tf
+)
+SELECT doc_id, phrase, tf, score, rank FROM r WHERE rank <= 8
+""".replace("{STOP}", "'a', 'the', 'and', 'of', 'to', 'in'").strip(),
         "keywords_topk": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents

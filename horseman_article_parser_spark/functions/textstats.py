@@ -308,3 +308,45 @@ def keywords_topk(docs: DataFrame, k: int = 10, id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "rank")
     )
+
+
+def keyphrases_topk(docs: DataFrame, k: int = 10, n: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    stopwords: tuple[str, ...] = STOPWORDS_MINI) -> DataFrame:
+    """N3 keyphrases: top-k word n-grams per document by frequency,
+    phrases containing stopwords at either edge dropped (retext-keywords
+    keeps noun-phrase-ish spans; the deterministic stand-in is
+    edge-stopword filtering). Score = tf / max_tf per doc, mirroring the
+    reference's normalized keyphrase weight
+    (/root/reference/controllers/keywordParser.js:32-77). One explode →
+    one (doc, phrase) shuffle → one window."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("_t") - n, F.lit(-1)),
+                ),
+                lambda i: F.array_join(F.slice("_t", i + 1, n), " "),
+            )
+        ).alias("phrase"),
+    )
+    first = F.element_at(F.split(F.col("phrase"), " "), 1)
+    last = F.element_at(F.split(F.col("phrase"), " "), -1)
+    grams = grams.filter(
+        ~first.isin(*stopwords) & ~last.isin(*stopwords)
+        & (F.length("phrase") > 3)
+    )
+    tf = grams.groupBy(id_col, "phrase").agg(F.count("*").alias("tf"))
+    w_max = Window.partitionBy(id_col)
+    w_rank = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("phrase"))
+    return (
+        tf.withColumn("score", F.col("tf") / F.max("tf").over(w_max))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "phrase", "tf", F.round("score", 9).alias("score"), "rank")
+    )
