@@ -634,6 +634,20 @@ def q_knn_bruteforce(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup: hyperplane-LSH bucket join + exact
+    cosine >= threshold within buckets (0.30 here: the synthetic embeddings are near-orthogonal, max pairwise cosine ~0.51) (dedup for embedding-bearing corpora).
+    Double-precision dot products accumulate in array order on both
+    engines, so the threshold filter agrees exactly."""
+    emb = _load(_prep(spark), sf_dir, "embeddings")
+    out = DD.embedding_near_dups(emb, threshold=0.30, n_planes=ANN_PLANES,
+                                 seed=ANN_SEED)
+    return out.select(
+        "id_a", "id_b",
+        F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_x1e6"),
+    )
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _load(_prep(spark), sf_dir, "embeddings")
     return emb.select(
@@ -1219,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_norms": q_embedding_norms,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dups": q_embedding_near_dups,
         "label_centroids": q_label_centroids,
         # events
         "event_hourly": q_event_hourly,
@@ -1292,6 +1307,32 @@ WITH toks AS (
 )
 SELECT doc_id, {sig} AS simhash FROM sums
 """.strip()
+
+
+def _embedding_near_dups_sql() -> str:
+    planes = SIM.hyperplanes(64, ANN_PLANES, ANN_SEED)
+    bits = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, y.vec_id AS id_b,
+         list_dot_product(a.embedding::DOUBLE[], y.embedding::DOUBLE[])
+           / (a.nrm * y.nrm) AS cosine
+  FROM b a JOIN b y ON a.bucket = y.bucket AND a.vec_id < y.vec_id
+)
+SELECT id_a, id_b, CAST(round(cosine * 1000000) AS BIGINT) AS cosine_x1e6
+FROM pairs WHERE cosine >= 0.30
+"""
 
 
 def _ann_lsh_sql() -> str:
@@ -1727,6 +1768,7 @@ SELECT vec_id,
 FROM embeddings
 """.strip(),
         "ann_lsh_buckets": _ann_lsh_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "label_centroids": """
 SELECT label, d,
        CAST(round(avg(embedding[d + 1]::DOUBLE) * 10000) AS BIGINT) AS mean_x1e4
