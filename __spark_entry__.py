@@ -1072,6 +1072,41 @@ def q_striptags(spark, sf_dir):
     return pages.select("doc_id", strip_udf("html").alias("stripped"))
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """F10 CTA/ad/related-content node removal (stripNonArticleElements,
+    /root/reference/controllers/textProcessing.js:263-426,543-545) —
+    exact raw-text oracle over by-construction pages embedding: a nav,
+    a footer, an attr-keyword newsletter div, an attr-keyword related
+    div, a short CTA-text paragraph, an anchor-dominated paragraph —
+    all removed — plus heading/body/inline-link paragraphs that must
+    survive."""
+    from horseman_article_parser_spark.operators.textrender import render_texts
+
+    docs = _load(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><article><nav><p>Site menu "), d,
+        F.lit("</p></nav><h2>Heading "), d,
+        F.lit("</h2><p>Alpha "), F.col("text"),
+        F.lit('.</p><div class="newsletter-signup"><p>Sign up for our newsletter.</p></div>'),
+        F.lit('<div class="related-posts"><p><a href="/next/'), d,
+        F.lit('">Related story '), d,
+        F.lit(' for readers</a></p></div>'),
+        F.lit('<p>Share this with friends.</p>'),
+        F.lit('<p><a href="/full/'), d,
+        F.lit('">Continue to full coverage of topic '), d,
+        F.lit('</a></p><p>Analysis: the committee met '), d,
+        F.lit(' times; see <a href="/r/'), d,
+        F.lit('">the report</a> for details.</p><p>Beta body '), d,
+        F.lit(" ends.</p><footer><p>Copyright "), d,
+        F.lit("</p></footer></article></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    out = render_texts(pages, strip_boilerplate=True)
+    return out.select("doc_id", F.col("texts.raw").alias("raw"))
+
+
 def q_liveblog(spark, sf_dir):
     """A13 liveblog harvest over by-construction pages: even docs carry
     6 timestamped updates (collect all, emit top 5); odd docs are plain
@@ -1241,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "liveblog": q_liveblog,
         "text_render": q_text_render,
         "striptags": q_striptags,
+        "boilerplate_strip": q_boilerplate_strip,
         "sessionize": q_sessionize,
         "retry_backoff": q_retry_backoff,
         # relational breadth
@@ -1798,6 +1834,13 @@ FROM f
         "striptags": """
 SELECT doc_id,
        '<html><body><p id="keep">Keep ' || text || '</p></body></html>' AS stripped
+FROM documents
+""".strip(),
+        "boilerplate_strip": """
+SELECT doc_id,
+       'Heading ' || doc_id || '. Alpha ' || text ||
+       '. Analysis: the committee met ' || doc_id ||
+       ' times; see the report for details. Beta body ' || doc_id || ' ends.' AS raw
 FROM documents
 """.strip(),
         "liveblog": """

@@ -323,14 +323,17 @@ def keyphrases_topk(docs: DataFrame, k: int = 10, n: int = 2,
     from pyspark.sql.window import Window
 
     toks = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    # guard docs shorter than n tokens: sequence(0, stop) with stop < 0
+    # DESCENDS in Spark (default step -1, not an empty array), making
+    # slice() see start=0 and throw under ANSI mode. Filtering size >= n
+    # both fixes the crash and matches the oracle (range() yields zero
+    # rows for short docs).
+    toks = toks.filter(F.size("_t") >= n)
     grams = toks.select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size("_t") - n, F.lit(-1)),
-                ),
+                F.sequence(F.lit(0), F.size("_t") - n),
                 lambda i: F.array_join(F.slice("_t", i + 1, n), " "),
             )
         ).alias("phrase"),

@@ -88,15 +88,23 @@ def slice_frontier(df: DataFrame, start: int, limit: int, seq_col: str = "seq") 
     """Positional slice after dedup (F14): rows at ranks [start, start+limit).
 
     Rank is computed against the current ordering of `seq`; because seq
-    values are sparse after dedup, a rank window (not a seq filter) is
-    required for positional semantics.
+    values are sparse after dedup, positional (not seq-value) semantics
+    are required.
+
+    Scale shape: orderBy(seq).limit(start+limit) compiles to
+    TakeOrderedAndProject — a per-partition top-k + merge that never
+    sorts (or single-partitions) the frontier. Only the ≤ start+limit
+    survivors are then ranked (via the range-partitioned
+    ordered_zip_with_index, NOT a partition-less window) to drop the
+    first `start`. The old plan put row_number() over an un-partitioned
+    window across the whole frontier — one task owns 10^10 rows.
     """
-    w = Window.orderBy(seq_col)
-    return (
-        df.withColumn("_pos", F.row_number().over(w) - 1)
-        .filter((F.col("_pos") >= start) & (F.col("_pos") < start + limit))
-        .drop("_pos")
-    )
+    k = start + limit
+    topk = df.orderBy(seq_col).limit(k)
+    if start <= 0:
+        return topk
+    ranked = ordered_zip_with_index(topk, [seq_col], out_col="_pos")
+    return ranked.filter(F.col("_pos") >= start).drop("_pos")
 
 
 def build_wave0(seeds: DataFrame, limit: int, unique_hosts: bool = True) -> DataFrame:

@@ -45,31 +45,37 @@ def robots_filter(candidates: DataFrame, robots: DataFrame | None, url_col: str 
         return candidates
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     cand = candidates.withColumn("_path", path)
-    rules = F.broadcast(
-        robots.select(
-            F.col("host").alias("_r_host"),
-            F.col("rule_type").alias("_r_type"),
-            F.col("path_prefix").alias("_r_prefix"),
-        )
+    # SHUFFLE-FREE longest-prefix resolution: pre-aggregate the (tiny)
+    # rules table into one array per host, broadcast it, and resolve the
+    # winning rule per row with higher-order functions — the frontier
+    # side never exchanges (the old Window.partitionBy(url) plan
+    # re-shuffled the full candidates×rules product every round).
+    rules_by_host = robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("path_prefix").alias("prefix"),
+                F.col("rule_type").alias("rtype"),
+            )
+        ).alias("_rules")
     )
-    joined = cand.join(rules, cand["host"] == rules["_r_host"], "left").withColumn(
-        "_match", F.col("_r_prefix").isNotNull() & F.col("_path").startswith(F.col("_r_prefix"))
+    joined = cand.join(F.broadcast(rules_by_host), on="host", how="left")
+    matched = F.filter(
+        F.col("_rules"), lambda r: F.col("_path").startswith(r["prefix"])
     )
-    # longest matching prefix per URL decides; no match ⇒ allowed
-    w = Window.partitionBy(url_col).orderBy(
-        F.desc("_match"), F.desc(F.length("_r_prefix"))
-    )
-    decided = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn(
-            "_allowed",
-            F.when(F.col("_match") & (F.col("_r_type") == "disallow"), F.lit(False)).otherwise(
-                F.lit(True)
+    # longest matching prefix wins; on a length tie, allow wins
+    # (struct max orders by (len, is_allow)); no match ⇒ allowed
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("len"),
+                (r["rtype"] == F.lit("allow")).cast("int").alias("is_allow"),
             ),
         )
-        .filter(F.col("_allowed"))
     )
+    decided = joined.withColumn(
+        "_allowed", best.isNull() | (best["is_allow"] == 1)
+    ).filter(F.col("_allowed"))
     return decided.select(*candidates.columns)
 
 
@@ -82,11 +88,15 @@ def host_budgets(robots: DataFrame | None, wave_seconds: float = 60.0) -> DataFr
         .agg(F.min("crawl_delay_ms").alias("_delay_ms"))
         .select(
             "host",
-            # crawl_delay_ms <= 0 (or null) means "no delay" ⇒ unbounded
-            # within the wave; cap at int32 max so the top-k filter is a
-            # no-op rather than a divide-by-zero under ANSI mode.
-            F.when(
-                F.coalesce(F.col("_delay_ms"), F.lit(0)) <= 0,
+            # EXPLICIT crawl_delay_ms <= 0 means "no delay" ⇒ unbounded
+            # within the wave (int32-max cap avoids ANSI divide-by-zero).
+            # A NULL delay (host listed in robots with only allow/disallow
+            # rules) stays a NULL budget so enforce_host_budget coalesces
+            # it to default_host_budget — a delay-less robots entry must
+            # NOT grant an uncapped wave.
+            F.when(F.col("_delay_ms").isNull(), F.lit(None).cast("long"))
+            .when(
+                F.col("_delay_ms") <= 0,
                 F.lit(2147483647),
             )
             .otherwise(

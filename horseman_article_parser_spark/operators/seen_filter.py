@@ -274,7 +274,13 @@ class CuckooSeenFilter:
                  buckets_per_shard: int = 1 << 14, seed: int = 0x5EED):
         self.store_dir = store_dir
         self.n_shards = n_shards
-        self.buckets = buckets_per_shard
+        # buckets MUST be a power of two: the alternate-bucket map
+        # i2 = (i1 XOR h(fp)) mod buckets is an involution only then
+        # (XOR of two values < 2^k stays < 2^k, so the mod is a no-op and
+        # alt(alt(b)) == b). A non-power-of-two modulus lets relocated
+        # fingerprints land outside their two candidate buckets ->
+        # _contains false negatives -> double-crawled URLs.
+        self.buckets = 1 << max(1, int(buckets_per_shard - 1).bit_length())
         self.seed = seed
         self.version = -1
         os.makedirs(os.path.join(store_dir, "cuckoo", "data"), exist_ok=True)
@@ -349,9 +355,11 @@ class CuckooSeenFilter:
         # partial-cuckoo eviction
         b = b1 if rng.rand() < 0.5 else b2
         cur = np.uint16(fp)
+        trail: list[tuple[int, int]] = []  # (bucket, slot) swaps, for undo
         for _ in range(self.MAX_KICKS):
             slot = rng.randint(0, self.SLOTS)
             cur, table[b][slot] = table[b][slot], cur
+            trail.append((b, slot))
             b = int(
                 (np.uint64(b) ^ ((np.uint64(cur) * np.uint64(0x5BD1E995)) % np.uint64(self.buckets)))
                 % np.uint64(self.buckets)
@@ -361,6 +369,12 @@ class CuckooSeenFilter:
             if len(empty):
                 row[empty[0]] = cur
                 return True
+        # MAX_KICKS exhausted: UNDO the swap chain so the displaced victim
+        # fingerprint is restored (dropping it would silently un-see an
+        # arbitrary previously-claimed URL). Only the NEW fp fails to
+        # insert; caller treats its row as seen, which is the safe side.
+        for ub, us in reversed(trail):
+            cur, table[ub][us] = table[ub][us], cur
         return False  # table over-full; caller treats row as seen (safe)
 
     # ------------------------------------------------------------- ops

@@ -264,14 +264,20 @@ class CrawlScheduler:
         cfg = self.config
         spark = self.spark
         hosts = pending.select("host").distinct()
+        prev = None
+        if self.store.exists("host_state", round_no - 1):
+            prev = self.store.read(spark, "host_state", round_no - 1)
+            # carry-over must include hosts with ZERO pending rows this
+            # round — otherwise their banked tokens vanish from the
+            # written state and silently reset on next appearance
+            hosts = hosts.unionByName(prev.select("host")).distinct()
         if self.budgets is not None:
             refill_src = self.budgets.withColumnRenamed("_budget", "_refill")
             hosts = hosts.join(F.broadcast(refill_src), "host", "left")
         else:
             hosts = hosts.withColumn("_refill", F.lit(None).cast("int"))
         refill = F.coalesce(F.col("_refill"), F.lit(cfg.default_host_budget))
-        if self.store.exists("host_state", round_no - 1):
-            prev = self.store.read(spark, "host_state", round_no - 1)
+        if prev is not None:
             hosts = hosts.join(prev, "host", "left")
         else:
             hosts = hosts.withColumn("tokens", F.lit(None).cast("long"))

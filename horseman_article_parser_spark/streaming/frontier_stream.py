@@ -70,18 +70,25 @@ class StreamingSeedIngest:
         # deterministic per-batch seq: url-order rank inside the batch
         from ..operators.frontier_ops import ordered_zip_with_index
 
+        from ..plans.crawl import FRONTIER_COLS
+
         ranked = ordered_zip_with_index(claimed, ["url"], out_col="_idx")
         base = STREAM_SEQ_BASE + batch_id * self.batch_seq_stride
+        # Emit the FULL frontier schema: pending/<round> holds 7-column
+        # files from init/run_round; appending a 5-column file makes the
+        # merged read resolve to an arbitrary footer (attempt/not_before
+        # silently dropped, or streamed rows read NULL not_before and are
+        # never scheduled). attempt=0 / not_before=0 = immediately eligible.
         rows = with_host(
             ranked.select(
                 "url",
                 (F.lit(base) + F.col("_idx")).alias("seq"),
                 F.lit(0).alias("depth"),
                 F.lit(0.0).alias("priority"),
+                F.lit(0).alias("attempt"),
+                F.lit(0).cast("long").alias("not_before"),
             )
-        ).filter(F.col("host").isNotNull()).select(
-            "url", "seq", "host", "depth", "priority"
-        )
+        ).filter(F.col("host").isNotNull()).select(*FRONTIER_COLS)
         last = self.scheduler.store.last_round()
         pending_path = self.scheduler.store.path("pending", last)
         rows.write.mode("append").parquet(pending_path)

@@ -49,14 +49,31 @@ def test_host_budgets_from_crawl_delay(spark):
 
 
 def test_host_budgets_zero_delay_is_unbounded(spark):
-    # crawl_delay_ms = 0 (e.g. a disallow-only robots row) must not
-    # divide by zero under ANSI mode; it means "no delay" ⇒ no cap.
+    # EXPLICIT crawl_delay_ms = 0 must not divide by zero under ANSI
+    # mode; it means "no delay" ⇒ no cap. A NULL delay (robots entry
+    # with only allow/disallow rules) is NOT an uncapped grant: the
+    # budget stays NULL so enforce_host_budget falls back to
+    # default_host_budget.
     robots = spark.createDataFrame(
         [("h1.x", "disallow", "/", 0), ("h2.x", "allow", "/", None)],
         "host string, rule_type string, path_prefix string, crawl_delay_ms int",
     )
     got = {r["host"]: r["_budget"] for r in host_budgets(robots, wave_seconds=60).collect()}
-    assert got == {"h1.x": 2147483647, "h2.x": 2147483647}
+    assert got == {"h1.x": 2147483647, "h2.x": None}
+
+
+def test_null_delay_host_gets_default_budget(spark):
+    # end-to-end: the NULL-budget host is capped at default_budget
+    rows = [(f"https://h2.x/p-{i}", i, "h2.x", 0, 0.0) for i in range(20)]
+    cands = _cand(spark, rows)
+    robots = spark.createDataFrame(
+        [("h2.x", "allow", "/", None)],
+        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
+    )
+    out = enforce_host_budget(
+        cands, host_budgets(robots), default_budget=3, order_cols=["seq"]
+    )
+    assert {r["seq"] for r in out.collect()} == {0, 1, 2}
 
 
 def test_budget_enforced_with_hot_host_skew(spark):

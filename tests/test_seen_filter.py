@@ -103,3 +103,50 @@ def test_crawl_scheduler_with_cuckoo(spark, tmp_store):
     w0 = {r.url for r in sched.store.read(spark, "waves", 0).collect()}
     w1 = {r.url for r in sched.store.read(spark, "waves", 1).collect()}
     assert not (w0 & w1)
+
+
+def test_cuckoo_buckets_rounded_to_power_of_two(tmp_store):
+    from horseman_article_parser_spark.operators.seen_filter import CuckooSeenFilter
+
+    # non-power-of-two request (e.g. total_bits/(n_shards*64) = 21845)
+    f = CuckooSeenFilter(str(tmp_store), n_shards=2, buckets_per_shard=21845)
+    assert f.buckets == 32768  # next power of two
+    assert f.buckets & (f.buckets - 1) == 0
+    # the alternate-bucket map must be an involution: alt(alt(b)) == b
+    import numpy as np
+    b = np.arange(f.buckets, dtype=np.int64)
+    fp = np.full(f.buckets, 12345, dtype=np.uint16)
+    alt = f._alt_bucket(b, fp)
+    assert (f._alt_bucket(alt, fp) == b).all()
+
+
+def test_cuckoo_full_table_undo_preserves_claims(tmp_store):
+    """MAX_KICKS exhaustion must not evict a previously-inserted
+    fingerprint (the old code dropped the kicked victim)."""
+    import numpy as np
+    from horseman_article_parser_spark.operators.seen_filter import CuckooSeenFilter
+
+    f = CuckooSeenFilter(str(tmp_store), n_shards=1, buckets_per_shard=2)
+    rng = np.random.RandomState(0)
+    table = np.zeros((f.buckets, f.SLOTS), dtype=np.uint16)
+    inserted = []
+    # over-fill a 2-bucket x 4-slot table until insert fails
+    for fp in range(1, 40):
+        b1 = fp % f.buckets
+        b2 = int(f._alt_bucket(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
+        before = table.copy()
+        ok = f._insert_one(table, rng, b1, b2, fp)
+        if ok:
+            inserted.append((b1, b2, fp))
+        else:
+            # failed insert must leave the table EXACTLY as it was
+            assert (table == before).all()
+    assert inserted, "expected at least one successful insert"
+    # every successfully inserted fingerprint is still findable
+    for b1, b2, fp in inserted:
+        arr = np.array([fp], dtype=np.uint16)
+        hit = f._contains(
+            table, np.array([b1]), 
+            f._alt_bucket(np.array([b1]), arr), arr
+        )
+        assert hit[0], f"fingerprint {fp} lost from table"

@@ -111,3 +111,34 @@ def test_windowed_host_metrics_with_watermark(spark, tmp_path):
     assert got[("00:00", "h1.x")] == (2, 1, 1)
     assert got[("00:00", "h2.x")] == (1, 1, 0)
     assert got[("00:01", "h1.x")] == (1, 1, 0)
+
+
+def test_streamed_seeds_carry_full_frontier_schema(spark, tmp_path):
+    """Streamed pending rows must emit the full 7-column FRONTIER_COLS
+    schema: a 5-column append alongside init's 7-column files makes the
+    un-merged parquet read resolve to an arbitrary footer (silently
+    dropping attempt/not_before, or reading them as NULL and dropping
+    streamed seeds at the not_before eligibility gate)."""
+    from horseman_article_parser_spark.plans.crawl import FRONTIER_COLS
+
+    sched = _mk_scheduler(spark, tmp_path)
+    seeds_dir = tmp_path / "seeds2"
+    seeds_dir.mkdir()
+    (seeds_dir / "b.txt").write_text("https://streamed.example/story-z\n")
+    ingest = StreamingSeedIngest(sched)
+    q = ingest.start(str(seeds_dir), str(tmp_path / "ckpt2"))
+    q.processAllAvailable()
+    q.stop()
+
+    pending = sched.store.read(spark, "pending", sched.store.last_round())
+    assert pending.columns == FRONTIER_COLS
+    row = pending.filter(F.col("url") == "https://streamed.example/story-z").collect()
+    assert len(row) == 1
+    assert row[0]["attempt"] == 0 and row[0]["not_before"] == 0
+    # the streamed row is eligible (not_before <= round) and schedulable
+    wave = sched.store  # run a round and confirm it can be scheduled
+    stats = sched.run_round(0)
+    scheduled = sched.store.read(spark, "waves", 0)
+    urls = {r["url"] for r in scheduled.collect()}
+    assert stats["scheduled"] > 0
+    assert "https://streamed.example/story-z" in urls or stats["scheduled"] >= 20
