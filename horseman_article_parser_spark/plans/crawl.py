@@ -100,6 +100,15 @@ class CrawlConfig:
     # ('amp' | 'dynamic') to results for the A2 per-source rollup.
     amp_static_first: bool = False
     amp_min_chars: int = 1000
+    # In-kernel fetch fan-out: real crawls are RTT-bound, so each Arrow
+    # batch overlaps network waits with a bounded thread pool (sleep/IO
+    # releases the GIL; extraction stays serial per task so CPU work
+    # never oversubscribes the cores the task scheduler already owns).
+    # Per-host volume is bounded per ROUND by the politeness budget
+    # computed at wave selection; within a wave the reference's worker
+    # pool fetches concurrently too
+    # (/root/reference/scripts/batch-sample-run.js:315-338).
+    fetch_concurrency: int = 8
     # T2 persistent per-host token buckets: each round a host's budget
     # is min(cap, carried_tokens + refill) where refill is its
     # robots-derived budget (else default_host_budget) and cap =
@@ -238,16 +247,29 @@ class CrawlScheduler:
             st, html = fetch_fn(u)
             return st, u, "dynamic", html
 
+        concurrency = max(1, self.config.fetch_concurrency)
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from concurrent.futures import ThreadPoolExecutor
+
             for pdf in batches:
                 if not len(pdf):
                     continue
                 pdf = pdf.copy()
+                urls = list(pdf["url"])
+                # overlap RTTs: map preserves input order, so results stay
+                # aligned with the wave rows regardless of completion order
+                if concurrency > 1 and len(urls) > 1:
+                    with ThreadPoolExecutor(
+                        max_workers=min(concurrency, len(urls))
+                    ) as ex:
+                        fetched = list(ex.map(fetch_one, urls))
+                else:
+                    fetched = [fetch_one(u) for u in urls]
                 status = []
                 source = []
                 articles = []
-                for u in pdf["url"]:
-                    st, fu, src_, html = fetch_one(u)
+                for st, fu, src_, html in fetched:
                     status.append(st)
                     source.append(src_)
                     articles.append(extract_article(fu, html))

@@ -72,7 +72,35 @@ FORBIDDEN = {
     "extract_title": [
         ("SortMergeJoin", "tiny synth join must broadcast, not SMJ"),
     ],
+    # robots resolution is a broadcast join + higher-order functions:
+    # the frontier side must never exchange (the old plan re-shuffled
+    # candidates x rules through a per-url window every round). The one
+    # allowed Exchange is the tiny rules-side groupBy(host) — asserted
+    # separately in main().
+    "robots_filter": [
+        ("Window", "no per-url window; resolve via array higher-order fns"),
+        ("SortMergeJoin", "rules must broadcast, never SMJ the frontier"),
+    ],
+    # positional slice must TakeOrdered, never rank the whole frontier
+    # through one task
+    "frontier_slice": [
+        ("Window", "no partition-less window over the frontier"),
+    ],
 }
+
+
+def _partitionless_windows(plan: str) -> list[str]:
+    """Window operators whose partition spec is empty — the
+    single-partition scale-killer. Formatted plans print windows as
+    'Arguments: [exprs], [partition-cols], [order]'."""
+    import re
+
+    hits = []
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+        args = m.group(1)
+        if re.search(r"\], \[\], \[", args):
+            hits.append(args[:120])
+    return hits
 
 
 def main() -> int:
@@ -93,6 +121,26 @@ def main() -> int:
             ok = needle not in plan
             print(f"{'PASS' if ok else 'FAIL'} {name}: forbid '{needle}' ({why})")
             failures += 0 if ok else 1
+    # robots_filter: the frontier side must be shuffle-free — the only
+    # shuffle Exchange allowed is the tiny rules-side groupBy(host)
+    import re as _re
+    plan = plan_of(queries["robots_filter"](spark, sf_dir))
+    n_shuffle = len(_re.findall(r"\(\d+\) Exchange\b", plan))
+    ok = n_shuffle <= 1 and "BroadcastHashJoin" in plan
+    print(f"{'PASS' if ok else 'FAIL'} robots_filter: frontier side shuffle-free "
+          f"(shuffle exchanges={n_shuffle}, rules-side only)")
+    failures += 0 if ok else 1
+    # NO partition-less windows anywhere in the frontier/crawl queries:
+    # row_number() over an un-partitioned window funnels the whole input
+    # through one task — the textbook 10^10-row scale-killer.
+    for name in ("frontier_uniq", "frontier_unique_by_host", "frontier_wave0",
+                 "frontier_slice", "politeness_budget", "robots_filter",
+                 "seen_antijoin", "round_robin_interleave"):
+        hits = _partitionless_windows(plan_of(queries[name](spark, sf_dir)))
+        ok = not hits
+        print(f"{'PASS' if ok else 'FAIL'} {name}: no partition-less window"
+              + ("" if ok else f" -> {hits[0]}"))
+        failures += 0 if ok else 1
     # column pruning spot check: token_count must read ONLY doc_id+text
     plan = plan_of(queries["token_count"](spark, sf_dir))
     pruned = "ReadSchema" in plan and "n_chars" not in plan.split("ReadSchema", 1)[1][:400]
