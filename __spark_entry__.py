@@ -954,58 +954,131 @@ def q_content_candidates(spark, sf_dir):
     )
 
 
+# Reranker-oracle fixture (A11/S12): a scale-independent 64-row feature
+# matrix derived from row index by exact binary-fraction arithmetic, so
+# Spark Column algebra and the plain-Python oracle twin produce
+# bit-identical inputs; training is the reference's deterministic
+# full-batch GD (/root/reference/train-reranker.js:144-169).
+RERANKER_N_ROWS = 64
+RERANKER_N_DIMS = 16
+
+
+def _reranker_feature(doc_id: int, i: int) -> float:
+    return ((doc_id * (3 + i)) % 7) / 8.0
+
+
+def _reranker_label(doc_id: int) -> int:
+    return 1 if (doc_id * 5 + 3) % 7 > 3 else 0
+
+
+def _oracle_gd_weights() -> list[tuple[int, float]]:
+    """Independent reimplementation of the reference GD (same math,
+    written against the spec, accumulating in row-major order like the
+    reference loop) — produces the oracle's expected weights."""
+    import math as _math
+
+    data = [
+        ([_reranker_feature(r, i) for i in range(RERANKER_N_DIMS)],
+         _reranker_label(r))
+        for r in range(RERANKER_N_ROWS)
+    ]
+    lr, epochs, l2 = 0.05, 250, 0.001
+    w = [0.0] * RERANKER_N_DIMS
+    b = 0.0
+    n = len(data)
+    for _ in range(epochs):
+        grad = [0.0] * RERANKER_N_DIMS
+        gb = 0.0
+        for x, y in data:
+            z = b
+            for wi, xi in zip(w, x):
+                z += wi * xi
+            p = 1.0 / (1.0 + _math.exp(-z))
+            diff = p - y
+            for i in range(RERANKER_N_DIMS):
+                grad[i] += diff * x[i]
+            gb += diff
+        for i in range(RERANKER_N_DIMS):
+            w[i] -= lr * (grad[i] / n + l2 * w[i])
+        b -= lr * (gb / n)
+    return [(i, round(wi, 6)) for i, wi in enumerate(w)] + [(-1, round(b, 6))]
+
+
 def q_reranker_train(spark, sf_dir):
-    """A11: spark.ml logistic reranker trained on heuristic-labeled
-    candidates — rows-only check (weights are optimizer-dependent; the
-    exact-GD parity trainer is pytest-verified)."""
-    from horseman_article_parser_spark.operators.content_detector import (
-        candidate_features,
-        rank_candidates,
-        train_reranker,
-    )
+    """A11/S12: the reference's deterministic full-batch GD trainer
+    (train-reranker.js:144-169) over a by-construction feature matrix;
+    EXACT weight oracle (the plain-Python twin precomputes the expected
+    weights; rounding to 6 dp absorbs accumulation-order noise). The
+    spark.ml scale path (train_reranker) and the HTML candidate-feature
+    pipeline are pytest- and content_candidates-oracle-covered."""
+    from horseman_article_parser_spark.operators.content_detector import train_gd
 
     spark = _prep(spark)
-    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
-    d = F.col("doc_id").cast("string")
-    html = F.concat(
-        F.lit('<html><body><div class="content"><article><h1>T</h1><p>'),
-        F.col("text"), F.lit(" end of article text."),
-        F.lit('</p></article></div><div class="promo">'),
-        F.lit("cookie consent subscribe newsletter banner text here. "),
-        F.lit("gdpr privacy manage preferences advertising partners. "),
-        F.repeat(F.lit("filler promo text for length padding purposes. "), 12),
-        F.lit("</div></body></html>"),
+    base = spark.range(RERANKER_N_ROWS).select(F.col("id").cast("int").alias("doc_id"))
+    feats = base.select(
+        "doc_id",
+        *[
+            (((F.col("doc_id") * (3 + i)) % 7).cast("double") / F.lit(8.0)).alias(f"v{i}")
+            for i in range(RERANKER_N_DIMS)
+        ],
+        ((F.col("doc_id") * 5 + 3) % 7 > 3).cast("int").alias("label"),
     )
-    pages = docs.select("doc_id", html.alias("html"))
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
-    labeled = rank_candidates(candidate_features(pages)).withColumn(
-        "label", (F.col("rank") == 1).cast("int")
-    )
-    _model, weights = train_reranker(labeled, max_iter=25)
-    rows = [(i, w) for i, w in enumerate(weights["weights"])] + [
-        (-1, weights["bias"])
+    rows = feats.orderBy("doc_id").collect()
+    data = [
+        ([r[f"v{i}"] for i in range(RERANKER_N_DIMS)], r["label"]) for r in rows
     ]
-    return spark.createDataFrame(rows, "dim int, weight double")
+    weights = train_gd(data, lr=0.05, epochs=250, l2=0.001)
+    out = [(i, round(w, 6)) for i, w in enumerate(weights["weights"])] + [
+        (-1, round(weights["bias"], 6))
+    ]
+    return spark.createDataFrame(out, "dim int, weight double")
+
+
+# Summary-oracle sentences (W5/N6): a single-paragraph 6-sentence doc
+# where every scoring term of buildSummary
+# (/root/reference/controllers/summary.js:21-174) is exercised with
+# distinct totals — position decay (s0>s1>...), paragraph-start +0.8,
+# second-sentence +0.3, title-token overlap (s3), meta overlap (s4),
+# digit+factual bonuses (s2), noise penalty (s5). Single paragraph ⇒
+# max_per_para = max_sentences and the greedy cascade reduces to
+# top-5-by-score re-sorted by position: s5 (score 0.5, noise) drops,
+# so the summary is exactly s0..s4 — an exact-string SQL oracle.
+SUMMARY_S0 = ("The archive ingest completed without any errors across "
+              "every shard yesterday evening.")
+SUMMARY_S1 = ("Partition balance stayed healthy while workers drained "
+              "the backlog steadily overnight.")
+SUMMARY_S2A = "The index grew by "
+SUMMARY_S2B = (" percent overall this quarter according to internal "
+               "dashboards.")
+SUMMARY_S3 = ("Our quarterly corpus report highlights steady growth in "
+              "document coverage and quality.")
+SUMMARY_S4 = ("Detailed ingestion pipeline metrics appear in the "
+              "appendix for curious readers today.")
+SUMMARY_S5 = ("Subscribe to our weekly newsletter for more updates and "
+              "announcements every single Friday.")
+SUMMARY_TITLE = "Quarterly corpus report"
+SUMMARY_META = "ingestion pipeline metrics overview"
 
 
 def q_summary(spark, sf_dir):
-    """W5/N6 extractive summary — rows-only check (the greedy selection
-    + coverage repair is iterative per doc; golden parity is
-    pytest-gated in tests/test_summary.py against the reference's own
-    scenario)."""
+    """W5/N6 extractive summary — exact-string oracle over the
+    by-construction document above (doc_id varies only the digits in
+    s2, keeping every length/word-count bonus inside its band). The
+    multi-paragraph cap/deferral/coverage-repair paths are pytest-gated
+    against the reference's own scenarios (tests/test_summary.py)."""
     from horseman_article_parser_spark.operators.summary import summarize
 
     docs = _load(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
     text = F.concat(
-        F.col("text"),
-        F.lit(". The report says 42 percent of rows matter. "),
-        F.lit("Subscribe to our newsletter. "),
-        F.lit("Experts say the "), F.col("lang"),
-        F.lit(" corpus grew by 7 million documents."),
+        F.lit(SUMMARY_S0 + " " + SUMMARY_S1 + " " + SUMMARY_S2A), d,
+        F.lit(SUMMARY_S2B + " " + SUMMARY_S3 + " " + SUMMARY_S4 + " "
+              + SUMMARY_S5),
     )
     out = summarize(
         docs.select("doc_id", text.alias("text")),
-        title_col=F.concat(F.lit("Corpus report "), F.col("doc_id").cast("string")),
+        title_col=F.lit(SUMMARY_TITLE),
+        meta_col=F.lit(SUMMARY_META),
     )
     return out.select(
         "doc_id",
@@ -1646,6 +1719,15 @@ SELECT doc_id,
        (CASE WHEN length(x) > 0 THEN upper(substr(x, 1, 1)) || substr(x, 2, 1000000) END) AS excerpt
 FROM tr
 """.strip(),
+        "summary": f"""
+SELECT doc_id, 5 AS n_sentences,
+       '{SUMMARY_S0} {SUMMARY_S1} {SUMMARY_S2A}' || doc_id ||
+       '{SUMMARY_S2B} {SUMMARY_S3} {SUMMARY_S4}' AS summary_text
+FROM documents
+""".strip(),
+        "reranker_train": "SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, CAST({w!r} AS DOUBLE))" for d, w in _oracle_gd_weights())
+        + ") AS t(dim, weight)",
         "keyphrases_topk": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
