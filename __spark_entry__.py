@@ -523,16 +523,57 @@ def q_quality_score(spark, sf_dir):
     return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
+# Per-language sample sentences for the langid oracle (doc_id % 12
+# selects one); each must be detected as its own language — asserted in
+# tests/test_textstats.py, while the oracle pins the scoring arithmetic.
+LANG_SAMPLES: dict[str, str] = {
+    "deu": ("der schnelle braune fuchs springt über den faulen hund und "
+            "die katze schläft in der großen verwaltung gemütlich"),
+    "ell": ("και η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο "
+            "της μεγάλης πόλης και την θάλασσα"),
+    "eng": ("the quick brown fox jumps over the lazy dog and then the "
+            "animals are running into the deep forest together"),
+    "fra": ("le renard brun rapide saute par dessus le chien paresseux "
+            "dans les grands champs que la lumière éclaire"),
+    "ita": ("la volpe veloce salta sopra il cane pigro della grande "
+            "città che dorme al sole con gli amici della stazione"),
+    "jpn": ("すばやい茶色の狐はのんびりした犬を飛び越えましたそれは見事でしたと"
+            "いうことです"),
+    "nld": ("de snelle bruine vos springt over de luie hond van het "
+            "grote huis een keer voor de verandering"),
+    "pol": ("szybki brązowy lis przeskakuje nad leniwym psem w wielkim "
+            "polskim mieście gdzie nie ma niczego ciekawego"),
+    "por": ("a rápida raposa marrom salta sobre o cão preguiçoso da "
+            "grande cidade que dorme durante a informação da manhã"),
+    "rus": ("быстрая коричневая лиса прыгает через ленивую собаку на "
+            "большой площади не зная ничего про государство"),
+    "spa": ("el rápido zorro marrón salta sobre el perro perezoso de la "
+            "gran ciudad que duerme con la información de la mañana"),
+    "swe": ("den snabba bruna räven hoppar över den lata hunden och "
+            "katten i det stora huset för att det är sommar"),
+}
+
+
 def q_langid(spark, sf_dir):
+    """N1 trigram-profile language ID (franc model, language.js:26-46):
+    struct(iso6391, iso6393) over 12 languages incl. Cyrillic, Greek and
+    Japanese scripts; exact arithmetic oracle (score algebra rendered to
+    SQL) over by-construction per-language sample texts."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    en_score = None
-    for w in TS.LANG_MARKERS["en"]:
-        o = TS.occurrences_col("text", w)
-        en_score = o if en_score is None else en_score + o
-    return docs.select(
+    langs = sorted(TS.LANG_TRIGRAMS)
+    sample = F.element_at(
+        F.array(*[F.lit(LANG_SAMPLES[lang]) for lang in langs]),
+        (F.col("doc_id") % len(langs)).cast("int") + 1,
+    )
+    base = docs.select("doc_id", sample.alias("txt"))
+    st = TS.langid_struct_col("txt")
+    scores = TS.trigram_lang_scores("txt")
+    best = F.greatest(*scores.values())
+    return base.select(
         "doc_id",
-        TS.langid_col("text").alias("lang_pred"),
-        en_score.alias("en_score"),
+        st["iso6391"].alias("iso6391"),
+        st["iso6393"].alias("iso6393"),
+        best.alias("best_score"),
     )
 
 
@@ -1478,14 +1519,60 @@ FROM c
 """.strip()
 
 
+def _langid_sql() -> str:
+    """DuckDB twin of the trigram langid arithmetic (N1): same sample
+    selection, same normalization, same Σ count·(K−rank) scores, same
+    (score desc, iso6393 asc) winner rule, same eng/en fallback."""
+    langs = sorted(TS.LANG_TRIGRAMS)
+    txt_case = ("CASE CAST(doc_id % 12 AS INT) "
+                + " ".join(f"WHEN {i} THEN '{LANG_SAMPLES[lang]}'"
+                           for i, lang in enumerate(langs))
+                + " END")
+    norm = ("' ' || trim(regexp_replace(lower(txt), '[^\\p{L}]+', ' ', 'g'))"
+            " || ' '")
+    score_exprs = []
+    for lang in langs:
+        tgs = TS.LANG_TRIGRAMS[lang]
+        k = len(tgs)
+        terms = [
+            f"CAST((length(nt) - length(replace(nt, '{tg}', ''))) / {len(tg)}"
+            f" AS BIGINT) * {k - rank}"
+            for rank, tg in enumerate(tgs)
+        ]
+        score_exprs.append("(" + " + ".join(terms) + f") AS s_{lang}")
+    long_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, s_{lang} AS score, '{lang}' AS iso3 FROM s"
+        for lang in langs
+    )
+    iso1_case = ("CASE iso3 "
+                 + " ".join(f"WHEN '{l3}' THEN '{TS.ISO3_TO_1[l3]}'"
+                            for l3 in langs)
+                 + " END")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {txt_case} AS txt FROM documents
+), n AS (
+  SELECT doc_id, {norm} AS nt FROM t
+), s AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM n
+), l AS (
+{long_rows}
+), w AS (
+  SELECT doc_id, iso3, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, iso3 ASC) AS rn
+  FROM l
+)
+SELECT doc_id,
+       (CASE WHEN score > 0 THEN {iso1_case} ELSE 'en' END) AS iso6391,
+       (CASE WHEN score > 0 THEN iso3 ELSE 'eng' END) AS iso6393,
+       score AS best_score
+FROM w WHERE rn = 1
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     stop_hits = " + ".join(occ_sql("text", w) for w in TS.STOPWORDS_MINI)
-    # the CASE chain below mirrors textstats.langid_col's fold exactly:
-    # winner = earliest lang in sorted order achieving the overall max
-    lang_scores = {
-        lang: " + ".join(occ_sql("text", w) for w in TS.LANG_MARKERS[lang])
-        for lang in sorted(TS.LANG_MARKERS)
-    }
 
     return {
         "frontier_uniq": f"""
@@ -1680,26 +1767,7 @@ SELECT doc_id, n_chars, n_words, stopword_hits,
          100.0)) AS BIGINT) AS quality_score
 FROM r
 """.strip(),
-        "langid": f"""
-WITH s AS (
-  SELECT doc_id,
-         {", ".join(f"({lang_scores[lang]}) AS s_{lang}" for lang in sorted(TS.LANG_MARKERS))}
-  FROM documents
-), best AS (
-  SELECT doc_id, s_en,
-         (CASE
-            WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
-            WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
-            WHEN s_es > greatest(s_de, s_en) THEN 'es'
-            WHEN s_en > s_de THEN 'en'
-            ELSE 'de' END) AS winner,
-         greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx
-  FROM s
-)
-SELECT doc_id, (CASE WHEN mx > 0 THEN winner ELSE 'en' END) AS lang_pred,
-       s_en AS en_score
-FROM best
-""".strip(),
+        "langid": _langid_sql(),
         "sentiment": _sentiment_sql(with_label=True),
         "sentiment_join": _sentiment_sql(with_label=False),
         "excerpt": """

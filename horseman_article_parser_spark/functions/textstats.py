@@ -43,6 +43,119 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 LANG_DEFAULT = "en"
 
+# ---------------------------------------------------------------------
+# Trigram-profile language ID (N1) — the franc model
+# (/root/reference/controllers/language.js:26-46): per-language ranked
+# trigram profiles scored against the text, iso6393 winner mapped to
+# iso6391 (language.js ISO3_TO_1 table :6-13), 'eng'/'en' default.
+# Profiles are hand-ranked top trigrams of each language's function
+# words (rank 0 = most characteristic); trigrams are counted over
+# ' ' + lowercase letters-only text + ' ' so word-boundary trigrams
+# (" th", "he ") score, franc-style. Score = Σ count(tg)·(K − rank);
+# winner = max score, alphabetical iso6393 tie-break, all-zero → eng.
+#
+# Scale shape: pure Column algebra (occurrence counts via length
+# difference under non-overlapping replace) — no explode, no shuffle,
+# no UDF; identical arithmetic renders to the DuckDB oracle.
+
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "deu": (" de", "der", "ein", "sch", "ich", "nde", "die", "und", "cht",
+            "ung", "gen", " ge", "ver", "eit", " zu"),
+    "ell": ("και", " κα", "αι ", "την", "τον", "της", " τη", "ος ", "το ",
+            " το", "ου ", "ματ", "ικό", "ετα", "να "),
+    "eng": (" th", "the", "he ", "ing", "ng ", "and", " an", " of", "of ",
+            "ion", " to", "ed ", " in", "tha", "ent"),
+    "fra": (" de", "de ", " le", "le ", "ent", "que", " qu", "les", "la ",
+            " la", "ion", "eur", "ait", " et", "ous"),
+    "ita": (" di", "di ", "che", " ch", "la ", " la", "zio", "one", "lla",
+            "del", " de", "ato", "re ", "gli", " co"),
+    "jpn": ("した", "ます", "です", "ている", "である", "として", "こと", "それ",
+            "ました", "ない", "れた", "など", "について", "という", "には"),
+    "nld": (" de", "de ", "en ", "van", " va", "het", " he", "een", " ee",
+            "ijk", "aar", "oor", "ver", "ing", " en"),
+    "pol": ("prz", "rze", "nie", " ni", "ego", " po", "ość", "ych", "owa",
+            " pr", "ać ", "ie ", "cze", "ski", " w "),
+    "por": (" de", "de ", "ção", "açã", " do", "do ", "da ", " da", "que",
+            "ent", " co", "os ", "ara", " pa", "nto"),
+    "rus": (" пр", "про", "ого", "го ", " на", "на ", "ени", "ние", " по",
+            "ост", "ств", "ать", "ть ", "ово", " не"),
+    "spa": (" de", "de ", " la", "la ", "que", " qu", "el ", " el", "ión",
+            "ció", "ado", "los", " lo", "ent", " en"),
+    "swe": ("och", " oc", "ch ", "att", " at", "för", " fö", "det", " de",
+            "som", " so", "ing", "en ", "and", "ät "),
+}
+
+# the reference's ISO-639-3 → ISO-639-1 table (language.js:6-13), the
+# subset our profiles cover
+ISO3_TO_1: dict[str, str] = {
+    "deu": "de", "ell": "el", "eng": "en", "fra": "fr", "ita": "it",
+    "jpn": "ja", "nld": "nl", "pol": "pl", "por": "pt", "rus": "ru",
+    "spa": "es", "swe": "sv",
+}
+LANG_DEFAULT_ISO3 = "eng"
+
+
+def lang_normtext_col(text: Column | str) -> Column:
+    """' ' + lowercased letters-only text + ' ' (trigram counting base)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}]+", " ")),
+        F.lit(" "),
+    )
+
+
+def _trigram_count(norm: Column, tg: str) -> Column:
+    """Non-overlapping occurrence count via length difference."""
+    return (
+        (F.length(norm) - F.length(F.replace(norm, F.lit(tg), F.lit(""))))
+        / F.lit(len(tg))
+    ).cast("long")
+
+
+def trigram_lang_scores(text: Column | str,
+                        profiles: dict[str, tuple[str, ...]] | None = None
+                        ) -> dict[str, Column]:
+    """Per-language trigram scores (pure Column algebra)."""
+    p = profiles or LANG_TRIGRAMS
+    norm = lang_normtext_col(text)
+    out: dict[str, Column] = {}
+    for lang, tgs in p.items():
+        k = len(tgs)
+        score = None
+        for rank, tg in enumerate(tgs):
+            term = _trigram_count(norm, tg) * F.lit(k - rank)
+            score = term if score is None else score + term
+        out[lang] = score.cast("long")
+    return out
+
+
+def langid_struct_col(text: Column | str,
+                      profiles: dict[str, tuple[str, ...]] | None = None
+                      ) -> Column:
+    """N1 full output: struct(iso6391, iso6393) like the reference's
+    detectLanguage (language.js:26-46). Winner = max trigram score,
+    alphabetical iso6393 tie-break, all-zero → eng/en."""
+    p = profiles or LANG_TRIGRAMS
+    langs = sorted(p)
+    scores = trigram_lang_scores(text, p)
+    entries = [
+        F.struct(scores[lang].alias("score"), F.lit(-i).alias("negrank"))
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    iso3_winner = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), -best["negrank"] + 1
+    )
+    iso3 = F.when(best["score"] > 0, iso3_winner).otherwise(
+        F.lit(LANG_DEFAULT_ISO3)
+    )
+    iso1_arr = F.array(*[F.lit(ISO3_TO_1[lang]) for lang in langs])
+    iso1 = F.when(
+        best["score"] > 0, F.element_at(iso1_arr, -best["negrank"] + 1)
+    ).otherwise(F.lit(LANG_DEFAULT))
+    return F.struct(iso1.alias("iso6391"), iso3.alias("iso6393"))
+
 # AFINN-style lexicon over this engine's synthetic-corpus vocabulary
 # (the reference ships AFINN-165 as a dependency; the scoring algebra —
 # sum, comparative = sum/token_count, threshold labels — is what we

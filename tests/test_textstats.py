@@ -29,3 +29,29 @@ def test_keywords_topk_deterministic_ties(spark):
     rows = keywords_topk(docs, k=2).collect()
     assert [(r["term"], r["tf"], r["rank"]) for r in rows] == [
         ("apple", 2, 1), ("zebra", 2, 2)]
+
+
+def test_trigram_langid_detects_all_profile_languages(spark):
+    """N1 trigram model: every LANG_SAMPLES sentence (12 languages,
+    incl. Cyrillic/Greek/Japanese scripts) must detect as itself, with
+    the reference's iso6391+iso6393 pair (language.js:6-13,26-46)."""
+    import __spark_entry__ as entry
+    from horseman_article_parser_spark.functions.textstats import (
+        ISO3_TO_1,
+        langid_struct_col,
+    )
+
+    rows = [(iso3, text) for iso3, text in sorted(entry.LANG_SAMPLES.items())]
+    df = spark.createDataFrame(rows, ["want", "txt"])
+    got = df.select("want", langid_struct_col("txt").alias("lid")).collect()
+    for r in got:
+        assert r["lid"]["iso6393"] == r["want"], r
+        assert r["lid"]["iso6391"] == ISO3_TO_1[r["want"]], r
+
+
+def test_trigram_langid_empty_defaults_to_english(spark):
+    from horseman_article_parser_spark.functions.textstats import langid_struct_col
+
+    df = spark.createDataFrame([("",), ("12345 67890",)], ["txt"])
+    for r in df.select(langid_struct_col("txt").alias("lid")).collect():
+        assert r["lid"]["iso6393"] == "eng" and r["lid"]["iso6391"] == "en"
