@@ -870,6 +870,52 @@ def q_spellcheck(spark, sf_dir):
     )
 
 
+def q_spellcheck_suggest(spark, sf_dir):
+    """N4 suggestions (spellCheck.js:29-55 `expected`): dictionary words
+    within Levenshtein distance 1 per misspelling, alphabetical, capped
+    at 5, via the symspell deletes-table broadcast join; the oracle
+    verifies with DuckDB's native levenshtein()."""
+    from horseman_article_parser_spark.operators.spellcheck import (
+        doc_tokens,
+        misspellings,
+        suggest_corrections,
+    )
+
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    rare = F.concat(
+        F.lit(" zzrare"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("b"))
+        .otherwise(F.lit("c")),
+    )
+    # misspellings one edit away from frequent corpus words: 'tabl'
+    # (table), 'scann' (scan) — suggestions must surface the dict twins;
+    # injected into 1/5 of docs each so they stay under the dictionary
+    # frequency threshold
+    typo = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" tabl"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" scann"))
+        .otherwise(F.lit(""))
+    )
+    docs2 = docs.select(
+        "doc_id", F.concat(F.col("text"), rare, typo).alias("text")
+    )
+    total = docs.groupBy().agg(F.count("*").alias("_n"))
+    dictionary = (
+        doc_tokens(docs2)
+        .groupBy("word_lc")
+        .agg(F.count("*").alias("_c"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_c") >= 0.5 * F.col("_n"))
+        .select(F.col("word_lc").alias("word"))
+    )
+    missed = misspellings(docs2, dictionary)
+    return suggest_corrections(missed, dictionary).select(
+        "doc_id", "line", "word_idx", "word", "suggestions"
+    )
+
+
 def q_error_classify(spark, sf_dir):
     """X22 error classification over synthesized fetch-error messages."""
     from horseman_article_parser_spark.functions.urls import classify_error_col
@@ -1366,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyphrases_topk": q_keyphrases_topk,
         "normalize_entity": q_normalize_entity,
         "spellcheck": q_spellcheck,
+        "spellcheck_suggest": q_spellcheck_suggest,
         "entities": q_entities,
         "error_classify": q_error_classify,
         "url_rewrites": q_url_rewrites,
@@ -1891,6 +1938,41 @@ entkeys AS (SELECT 'zzentity' AS word UNION ALL SELECT 'zzentitys')
 SELECT doc_id, 1 AS line, word_idx, word FROM toks
 WHERE word NOT IN (SELECT word FROM dict)
   AND word NOT IN (SELECT word FROM entkeys)
+""".strip(),
+        "spellcheck_suggest": """
+WITH d AS (
+  SELECT doc_id,
+         text || ' zzrare' ||
+           (CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN ' tabl'
+                 WHEN doc_id % 5 = 1 THEN ' scann' ELSE '' END) AS text
+  FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ws, 1) - 1 AS INT) AS word_idx,
+         unnest(ws) AS word
+  FROM t),
+freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+dict AS (SELECT word FROM freq WHERE c >= 0.5 * (SELECT count(*) FROM documents)),
+miss AS (
+  SELECT doc_id, 1 AS line, word_idx, word FROM toks
+  WHERE word NOT IN (SELECT word FROM dict)),
+sugg AS (
+  SELECT m.doc_id, m.line, m.word_idx, m.word, dd.word AS s
+  FROM miss m JOIN dict dd ON levenshtein(lower(m.word), dd.word) <= 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, line, word_idx, word
+                               ORDER BY s) AS rn
+  FROM sugg),
+agg AS (
+  SELECT doc_id, line, word_idx, word,
+         string_agg(s, ',' ORDER BY s) AS suggestions
+  FROM ranked WHERE rn <= 5 GROUP BY doc_id, line, word_idx, word)
+SELECT m.doc_id, m.line, m.word_idx, m.word,
+       coalesce(a.suggestions, '') AS suggestions
+FROM miss m
+LEFT JOIN agg a USING (doc_id, line, word_idx, word)
 """.strip(),
         "dedup_exact": f"""
 WITH n AS (SELECT doc_id, md5({NORMTEXT_SQL.replace('text', 'text')}) AS fingerprint FROM documents)

@@ -128,3 +128,66 @@ def misspellings(
             "left_anti",
         )
     return missed.select(id_col, "line", "word_idx", "word")
+
+
+# ------------------------------------------------------- N4 suggestions
+# retext-spell returns edit-distance suggestions per misspelling
+# (/root/reference/controllers/spellCheck.js:29-55, `expected`). The
+# deterministic relational form: dictionary words within Levenshtein
+# distance `max_distance`, alphabetical, capped. Candidate generation is
+# the symspell deletes-table join (Garbe's public algorithm): keys =
+# word ∪ single-char deletions on BOTH sides; two words at distance ≤ 1
+# always share a key, so the join bounds the search without a cross
+# join — the dict-keys table is a one-time broadcast build.
+
+
+def _deletes1_col(word: Column) -> Column:
+    """word ∪ all single-character deletions (symspell key set)."""
+    return F.array_union(
+        F.array(word),
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.concat(
+                word.substr(F.lit(1), i - 1),
+                word.substr(i + 1, F.length(word)),
+            ),
+        ),
+    )
+
+
+def suggest_corrections(
+    missed: DataFrame,
+    dictionary: DataFrame,
+    max_suggestions: int = 5,
+    max_distance: int = 1,
+    id_cols: tuple[str, ...] = ("doc_id", "line", "word_idx"),
+) -> DataFrame:
+    """Add a `suggestions` column (comma-joined, alphabetical, capped at
+    max_suggestions; '' when none) to a misspellings frame."""
+    dict_keys = F.broadcast(
+        dictionary.select(F.lower("word").alias("_dw"))
+        .distinct()
+        .select("_dw", F.explode(_deletes1_col(F.col("_dw"))).alias("_key"))
+        .distinct()
+    )
+    keyed = missed.select(
+        *id_cols, "word", F.lower("word").alias("_wl")
+    ).select(
+        *id_cols, "word", "_wl",
+        F.explode(_deletes1_col(F.col("_wl"))).alias("_key"),
+    )
+    cand = keyed.join(dict_keys, "_key").filter(
+        F.levenshtein(F.col("_wl"), F.col("_dw")) <= max_distance
+    )
+    agg = cand.groupBy(*id_cols, "word").agg(
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_set("_dw")), 1, max_suggestions
+            ),
+            ",",
+        ).alias("suggestions")
+    )
+    return missed.join(agg, [*id_cols, "word"], "left").select(
+        *id_cols, "word",
+        F.coalesce(F.col("suggestions"), F.lit("")).alias("suggestions"),
+    )

@@ -59,3 +59,31 @@ def test_doc_tokens_strips_edge_punctuation(spark):
     text = '"quick," (brown) fox!'
     toks = [r.word for r in doc_tokens(_docs(spark, text)).orderBy("word_idx").collect()]
     assert toks == ["quick", "brown", "fox"]
+
+
+def test_suggestions_distance1_sorted_capped(spark):
+    """N4 suggestions (spellCheck.js:29-55): dict words at Levenshtein
+    distance <=1, alphabetical, capped, '' when none."""
+    from horseman_article_parser_spark.operators.spellcheck import (
+        misspellings,
+        suggest_corrections,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sta on the mat qqqqzz")], ["doc_id", "text"]
+    )
+    dictionary = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("sta",), ("mat",), ("star",),
+         ("stay",), ("sea",), ("ta",), ("on",)],
+        ["word"],
+    ).filter(F.col("word") != "sta")
+    missed = misspellings(docs, dictionary)
+    out = suggest_corrections(missed, dictionary, max_suggestions=3)
+    rows = {r["word"]: r["suggestions"] for r in out.collect()}
+    # sta: distance-1 dict words = sat(swap? no: s-t-a vs s-a-t is 2)...
+    # deletions/insertions/subs: sta->star(ins r)=1, sta->stay(ins y)=1,
+    # sta->ta(del s)=1, sta->sea(sub t->e)=1, sat=2 (excluded).
+    # alphabetical capped at 3: sea,sta? 'sta' not in dict. => sea,star,stay? ta sorts last
+    assert rows["sta"] == "sea,star,stay"
+    assert rows["qqqqzz"] == ""
