@@ -1041,6 +1041,43 @@ def q_content_candidates(spark, sf_dir):
     )
 
 
+def q_detect_container(spark, sf_dir):
+    """W3/A8 drill-down + fragmentation promotion
+    (contentDetector.js:208-247,299-396): even docs split the article
+    body across three sibling divs — the winning div must PROMOTE to
+    the parent <article>; odd docs hold the body in one div — the
+    drill-down must select that div with no promotion. Exact xpath +
+    flag oracle by construction."""
+    from horseman_article_parser_spark.operators.content_detector import (
+        detect_containers,
+    )
+
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    fill1 = ("alpha beam cedar delta ember fjord grove haven inlet joist "
+             * 7)[:400]
+    fill2 = ("beta gamma delta epsilon zeta etaph theta iotas kappa lamda "
+             * 7)[:420]
+    fill3 = ("ochre plume quartz ridge slate tundra umber vapor willow axis "
+             * 7)[:420]
+    frag_html = F.concat(
+        F.lit("<html><body><article><div><p>Alpha "), F.col("text"),
+        F.lit(f" {fill1.strip()}.</p><p>More alpha words close this part.</p></div>"
+              f"<div><p>{fill2.strip()}.</p><p>Second beta paragraph words.</p></div>"
+              f"<div><p>{fill3.strip()}.</p><p>Second numeric paragraph words.</p></div>"
+              f"</article></body></html>"),
+    )
+    single_html = F.concat(
+        F.lit("<html><body><article><div><p>Alpha "), F.col("text"),
+        F.lit(f".</p><p>{fill2.strip()}.</p><p>{fill3.strip()}.</p></div>"
+              f"</article></body></html>"),
+    )
+    html = F.when(F.col("doc_id") % 2 == 0, frag_html).otherwise(single_html)
+    pages = docs.select("doc_id", html.alias("html"))
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    return detect_containers(pages).select("doc_id", "xpath", "fragmented")
+
+
 # Reranker-oracle fixture (A11/S12): a scale-independent 64-row feature
 # matrix derived from row index by exact binary-fraction arithmetic, so
 # Spark Column algebra and the plain-Python oracle twin produce
@@ -1417,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_classify": q_error_classify,
         "url_rewrites": q_url_rewrites,
         "content_candidates": q_content_candidates,
+        "detect_container": q_detect_container,
         "reranker_train": q_reranker_train,
         # dedup (training-pipeline ops)
         "dedup_exact": q_dedup_exact,
@@ -1916,6 +1954,13 @@ SELECT doc_id,
        1 AS dp,
        0 AS heads,
        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS img_count
+FROM documents
+""".strip(),
+        "detect_container": """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN '/HTML/BODY/ARTICLE'
+             ELSE '/HTML/BODY/ARTICLE/DIV' END) AS xpath,
+       (doc_id % 2 = 0) AS fragmented
 FROM documents
 """.strip(),
         "spellcheck": """

@@ -183,6 +183,220 @@ def gather_candidates(root: Element) -> list[Element]:
     return out
 
 
+# ------------------------------------------------- W3/A8 drill + fragment
+# Parity with contentDetector.js drillDownToContent (:208-247),
+# evaluateFragmentation (:299-359) and findFragmentedAncestor (:363-396):
+# a candidate refines to its densest nested container, and a winner whose
+# article body is split across sibling containers promotes to the common
+# parent so the selection does not fragment the body.
+
+_CONTAINER_TAGS = frozenset(("div", "article", "section", "main"))
+_FRAG_CONTAINERS = frozenset(("article", "section", "main"))
+
+
+def _heuristic_score_py(f: dict) -> float:
+    """heuristicScore (contentDetector.js:164-185) in Python, for the
+    in-kernel selection; must mirror heuristic_score_col exactly
+    (cross-checked in tests/test_content_detector.py)."""
+    length_score = math.log(1 + f["len"])
+    punct_score = min(f["punct"] / 10.0, 5.0)
+    para_score = min(f["pc"] / 5.0, 5.0)
+    sem_bonus = f["sem"] * 2.0
+    link_penalty = min(f["ld"] * 10.0, 6.0)
+    direct_p = min(f["dp"] / 3.0, 6.0)
+    ratio_score = min(f["dr"] * 6.0, 6.0)
+    avg_p = min(math.log(1 + f["avgP"]), 4.0)
+    heading = min(float(f["heads"]), 3.0) * 0.5
+    depth_score = min(float(f["depth"]), 8.0) * 0.3
+    wrapper = 2.0 if (f["dp"] == 0 and f["db"] > 0) else 0.0
+    a11y = f["roleMain"] * 1.5 - f["roleNeg"] * 1.0 - f["ariaHidden"] * 3.0
+    alt = min(f["imgAltRatio"] * 2.0, 2.0)
+    return (
+        length_score + punct_score + para_score + sem_bonus + direct_p
+        + ratio_score + avg_p + heading + depth_score + a11y + alt
+        - link_penalty - f["boiler"] - wrapper - f["consentPenalty"]
+    )
+
+
+def _link_density(el: Element) -> float:
+    total = _text(el)
+    links = " ".join(_text(a) for a in el.find_all("a"))
+    return len(links) / (len(total) or 1)
+
+
+def _paragraph_count(el: Element) -> int:
+    return len(el.find_all("p", "br"))
+
+
+def drill_down_to_content(el: Element, min_len: int = 400,
+                          max_ld: float = 0.5) -> Element:
+    """drillDownToContent (:208-247): BFS (depth ≤ 5) over container
+    tags, pick the node with the best direct-paragraph-weighted score
+    among those meeting relaxed length/link-density floors."""
+    best_node, best_score = el, -math.inf
+    queue: list[tuple[Element, int]] = [(el, 0)]
+    while queue:
+        node, depth = queue.pop(0)
+        if node.tag not in _CONTAINER_TAGS:
+            if node is not el:
+                continue
+        f = compute_features(node)
+        s = (
+            min(f["dp"] / 2.0, 8.0) * 2
+            + min(f["dr"] * 8.0, 8.0) * 3
+            + min(math.log(1 + f["avgP"]), 5.0)
+            + math.log(1 + f["len"]) * 0.5
+            + (1.5 if f["roleMain"] else 0.0)
+            - (1.0 if f["roleNeg"] else 0.0)
+            - (3.0 if f["ariaHidden"] else 0.0)
+            + min(f["imgAltRatio"] * 2.0, 2.0)
+            - min(f["ld"] * 12.0, 8.0)
+            - f["boiler"]
+        )
+        if f["len"] >= min(min_len, 200) and f["ld"] <= max(max_ld, 0.65):
+            if s > best_score:
+                best_node, best_score = node, s
+        if depth < 5:
+            for child in node.children:
+                if isinstance(child, Element) and child.tag in _CONTAINER_TAGS:
+                    queue.append((child, depth + 1))
+    return best_node
+
+
+def evaluate_fragmentation(node: Element, min_len: int = 400,
+                           max_ld: float = 0.5) -> dict:
+    """evaluateFragmentation (:299-359): does `node` hold the article
+    split across ≥2 sibling parts (each ≥150 chars with a paragraph),
+    whose combined text dominates, with no single part owning ≥65%?"""
+    result = {"qualifies": False, "parts": [], "ratio": 0.0}
+    if node.tag in ("html", "body", "#document"):
+        return result
+    min_child, min_combined = 150, max(min_len, 400)
+    parts, parts_text = [], 0
+    for child in node.children:
+        if not isinstance(child, Element):
+            continue
+        tl = len(_text(child))
+        if tl < min_child or _paragraph_count(child) < 1:
+            continue
+        parts.append((child, tl))
+        parts_text += tl
+    if len(parts) < 2:
+        return result
+    total = len(_text(node)) or parts_text
+    if parts_text < min(total, min_combined):
+        return result
+    largest = max(tl for _, tl in parts)
+    ratio = (parts_text - largest) / parts_text if parts_text else 0.0
+    result["ratio"] = ratio
+    if ratio < 0.35:
+        return result
+    if _link_density(node) > max(max_ld, 0.65):
+        return result
+    result["qualifies"] = True
+    result["parts"] = [c for c, _ in parts]
+    return result
+
+
+def _contains(ancestor: Element, node: Element) -> bool:
+    cur: Element | None = node
+    while cur is not None:
+        if cur is ancestor:
+            return True
+        cur = cur.parent
+    return False
+
+
+def find_fragmented_ancestor(node: Element, min_len: int = 400,
+                             max_ld: float = 0.5) -> Element | None:
+    """findFragmentedAncestor (:363-396): nearest ancestor (≤12 up, then
+    any article/section/main ancestor) whose fragmentation analysis
+    qualifies AND whose parts include the origin."""
+    def _check(parent: Element) -> bool:
+        analysis = evaluate_fragmentation(parent, min_len, max_ld)
+        return analysis["qualifies"] and any(
+            _contains(part, node) for part in analysis["parts"]
+        )
+
+    cur = node
+    for _ in range(12):
+        parent = cur.parent
+        if parent is None or parent.tag == "#document":
+            break
+        if _check(parent):
+            return parent
+        cur = parent
+    cur = node
+    while cur is not None and cur.tag != "#document":
+        # checking cur == node is safe: qualification also requires a
+        # part to CONTAIN the origin, and a node is never inside its own
+        # children (mirrors part.child.contains(origin), :387-391)
+        if cur.tag in _FRAG_CONTAINERS and _check(cur):
+            return cur
+        cur = cur.parent
+    return None
+
+
+def detect_container(html: str | None, min_len: int = 400,
+                     max_ld: float = 0.5) -> dict:
+    """Per-page detection with drill-down + fragmentation promotion:
+    gather → drill each candidate → heuristic score → best (with the
+    reference's threshold fallback to the runner-up) → promote to a
+    fragmented ancestor when the body is split across siblings."""
+    empty = {"xpath": None, "fragmented": False}
+    if not html:
+        return empty
+    root = parse_html(html)
+    cands = gather_candidates(root)
+    if not cands:
+        return empty
+    scored = []
+    for el in cands:
+        refined = drill_down_to_content(el, min_len, max_ld)
+        f = compute_features(refined)
+        scored.append((refined, f, _heuristic_score_py(f)))
+    # stable order: score desc, xpath asc (pins ties like rank_candidates)
+    scored.sort(key=lambda t: (-t[2], _xpath(t[0])))
+    selected, f, _ = scored[0]
+    if not (f["len"] >= min_len and f["ld"] <= max_ld) and len(scored) > 1:
+        selected = scored[1][0]
+    frag = find_fragmented_ancestor(selected, min_len, max_ld)
+    if frag is not None:
+        return {"xpath": _xpath(frag), "fragmented": True}
+    return {"xpath": _xpath(selected), "fragmented": False}
+
+
+DETECT_STRUCT = T.StructType(
+    [
+        T.StructField("xpath", T.StringType()),
+        T.StructField("fragmented", T.BooleanType()),
+    ]
+)
+
+
+def detect_containers(pages: DataFrame, id_col: str = "doc_id",
+                      html_col: str = "html") -> DataFrame:
+    """DataFrame op: (doc, html) → (doc, xpath, fragmented)."""
+    out_schema = T.StructType(
+        [pages.schema[id_col], T.StructField("detected", DETECT_STRUCT)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "detected": [detect_container(h) for h in pdf[html_col]],
+                }
+            )
+
+    return pages.select(id_col, html_col).mapInPandas(
+        run, schema=out_schema
+    ).select(id_col, "detected.*")
+
+
 def page_candidates(html: str | None) -> list[dict]:
     if not html:
         return []

@@ -97,3 +97,80 @@ def test_reranker_end_to_end(spark):
     ).withColumn("ml_score", score_with_weights_col(weights["weights"], weights["bias"]))
     top = scored.orderBy(F.desc("ml_score")).limit(1).collect()[0]
     assert top.label == 1
+
+
+# ----------------------------------------- W3/A8 drill-down + fragmentation
+
+def test_python_heuristic_matches_column_formula(spark):
+    """_heuristic_score_py must mirror heuristic_score_col exactly."""
+    import pyspark.sql.functions as F
+    from horseman_article_parser_spark.operators.content_detector import (
+        FEATURE_FIELDS,
+        _heuristic_score_py,
+        heuristic_score_col,
+    )
+
+    rows = []
+    for k in range(6):
+        f = {"len": 100 * k + 7, "punct": 3 * k, "ld": 0.1 * k, "pc": k,
+             "sem": k % 2, "boiler": k % 3, "dp": k, "db": k + 1,
+             "dr": k / (k + 1), "avgP": 30.0 * k, "depth": k,
+             "heads": k % 4, "roleMain": k % 2, "roleNeg": (k + 1) % 2,
+             "ariaHidden": 0, "imgAltRatio": 0.5, "imgCount": k,
+             "consentPenalty": 1.5 if k == 5 else 0.0}
+        rows.append(f)
+    schema = ", ".join(
+        f"`{n}` {'double' if t.typeName() == 'double' else 'int'}"
+        for n, t in FEATURE_FIELDS
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = [r["s"] for r in df.select(heuristic_score_col().alias("s")).collect()]
+    want = [_heuristic_score_py(f) for f in rows]
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-9
+
+
+def test_fragmentation_promotes_to_parent():
+    from horseman_article_parser_spark.operators.content_detector import (
+        detect_container,
+    )
+
+    fill = "word " * 90  # ~450 chars per part
+    html = ("<html><body><article>"
+            f"<div><p>{fill.strip()} one.</p></div>"
+            f"<div><p>{fill.strip()} two.</p></div>"
+            f"<div><p>{fill.strip()} three.</p></div>"
+            "</article></body></html>")
+    got = detect_container(html)
+    assert got == {"xpath": "/HTML/BODY/ARTICLE", "fragmented": True}
+
+
+def test_drill_down_selects_dense_child_without_promotion():
+    from horseman_article_parser_spark.operators.content_detector import (
+        detect_container,
+    )
+
+    fill = "word " * 90
+    html = ("<html><body><article>"
+            f"<div><p>{fill.strip()} one.</p><p>{fill.strip()} two.</p>"
+            f"<p>{fill.strip()} three.</p></div>"
+            "</article></body></html>")
+    got = detect_container(html)
+    assert got == {"xpath": "/HTML/BODY/ARTICLE/DIV", "fragmented": False}
+
+
+def test_single_dominant_part_does_not_qualify():
+    """ratio < 0.35 (one part owns the text) must NOT promote."""
+    from horseman_article_parser_spark.operators.content_detector import (
+        evaluate_fragmentation,
+    )
+    from horseman_article_parser_spark.functions.htmldom import parse_html
+
+    big = "word " * 200
+    small = "tiny part here today now. " * 7   # ~180 chars
+    root = parse_html(
+        f"<article><div><p>{big.strip()}.</p></div>"
+        f"<div><p>{small.strip()}</p></div></article>"
+    )
+    art = root.find("article")
+    assert evaluate_fragmentation(art)["qualifies"] is False
