@@ -1041,6 +1041,63 @@ def q_content_candidates(spark, sf_dir):
     )
 
 
+CANON_RICH_P = "Rich paragraph {i} with plenty of descriptive words to pass the sixty character floor for doc "
+CANON_FETCHED_P = "Canonical paragraph {i} recovered from the canonical page with enough characters for doc "
+
+
+def _canon_fetch(url: str) -> tuple[int, str]:
+    """Synthetic canonical-page fetcher: 3 substantial paragraphs keyed
+    by the trailing doc id."""
+    d = url.rsplit("/", 1)[-1]
+    body = "".join(
+        f"<p>{CANON_FETCHED_P.format(i=i)}{d}.</p>" for i in (1, 2, 3)
+    )
+    return 200, f"<html><body><article>{body}</article></body></html>"
+
+
+def q_canonical_refetch(spark, sf_dir):
+    """S8 empty-content fallback chain (index.js:1243-1336): docs%3==0
+    are rich (no rescue), %3==1 are thin WITH rel=canonical (rescued —
+    synthesized live-summary from the canonical page), %3==2 are thin
+    without canonical (not rescued). Exact oracle by construction."""
+    from horseman_article_parser_spark.operators.canonical import (
+        canonical_refetch,
+    )
+
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    rich = F.concat(
+        F.lit("<html><body><article>"),
+        *[
+            x
+            for i in (1, 2, 3)
+            for x in (
+                F.lit(f"<p>{CANON_RICH_P.format(i=i)}"), d, F.lit(".</p>")
+            )
+        ],
+        F.lit("</article></body></html>"),
+    )
+    thin_canon = F.concat(
+        F.lit('<html><head><link rel="canonical" href="https://canon.example/doc/'),
+        d,
+        F.lit('"></head><body><article><p>Too short.</p></article></body></html>'),
+    )
+    thin_plain = F.lit(
+        "<html><body><article><p>Too short.</p></article></body></html>"
+    )
+    html = (
+        F.when(F.col("doc_id") % 3 == 0, rich)
+        .when(F.col("doc_id") % 3 == 1, thin_canon)
+        .otherwise(thin_plain)
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    return canonical_refetch(pages, _canon_fetch).select(
+        "doc_id", "used", "n_entries", "first_para", "synth_html"
+    )
+
+
 def q_detect_container(spark, sf_dir):
     """W3/A8 drill-down + fragmentation promotion
     (contentDetector.js:208-247,299-396): even docs split the article
@@ -1455,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_rewrites": q_url_rewrites,
         "content_candidates": q_content_candidates,
         "detect_container": q_detect_container,
+        "canonical_refetch": q_canonical_refetch,
         "reranker_train": q_reranker_train,
         # dedup (training-pipeline ops)
         "dedup_exact": q_dedup_exact,
@@ -1954,6 +2012,24 @@ SELECT doc_id,
        1 AS dp,
        0 AS heads,
        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS img_count
+FROM documents
+""".strip(),
+        "canonical_refetch": f"""
+SELECT doc_id,
+       (doc_id % 3 = 1) AS used,
+       (CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 0 END) AS n_entries,
+       (CASE WHEN doc_id % 3 = 0
+             THEN '{CANON_RICH_P.format(i=1)}' || doc_id || '.'
+             WHEN doc_id % 3 = 1
+             THEN '{CANON_FETCHED_P.format(i=1)}' || doc_id || '.'
+             END) AS first_para,
+       (CASE WHEN doc_id % 3 = 1 THEN
+          '<div class="live-summary">' ||
+          '<div class="entry"><p>{CANON_FETCHED_P.format(i=1)}' || doc_id || '.</p></div>' ||
+          '<div class="entry"><p>{CANON_FETCHED_P.format(i=2)}' || doc_id || '.</p></div>' ||
+          '<div class="entry"><p>{CANON_FETCHED_P.format(i=3)}' || doc_id || '.</p></div>' ||
+          '</div>'
+        END) AS synth_html
 FROM documents
 """.strip(),
         "detect_container": """

@@ -100,6 +100,12 @@ class CrawlConfig:
     # ('amp' | 'dynamic') to results for the A2 per-source rollup.
     amp_static_first: bool = False
     amp_min_chars: int = 1000
+    # S8 empty-content fallback: when a fetched page yields <2
+    # substantial paragraphs, follow its rel=canonical link in-kernel
+    # and substitute the reference's synthesized live-summary container
+    # when the canonical page is rich (/root/reference/index.js:
+    # 1243-1336). Off by default: parity fixtures pin the plain pages.
+    canonical_rescue: bool = False
     # In-kernel fetch fan-out: real crawls are RTT-bound, so each Arrow
     # batch overlaps network waits with a bounded thread pool (sleep/IO
     # releases the GIL; extraction stays serial per task so CPU work
@@ -237,14 +243,33 @@ class CrawlScheduler:
             f"`{f.name}` {f.dataType.simpleString()}" for f in wave.schema.fields
         ) + f", `status` int, `source` string, `article` {ARTICLE_STRUCT.simpleString()}"
 
+        rescue = self.config.canonical_rescue
+
         def fetch_one(u: str) -> tuple[int, str, str, str]:
-            """(status, final_url, source, html) with optional AMP race."""
+            """(status, final_url, source, html) with optional AMP race
+            and optional canonical thin-page rescue (S8)."""
             if amp_first:
                 for cu in amp_candidates(u) or []:
                     st, html = fetch_fn(cu)
                     if st == 200 and html and len(html) >= amp_min:
                         return st, cu, "amp", html
             st, html = fetch_fn(u)
+            if rescue and st == 200 and html:
+                from ..operators.canonical import (
+                    MIN_PARAS,
+                    canonical_href,
+                    live_summary_html,
+                    substantial_paragraphs,
+                )
+
+                if len(substantial_paragraphs(html)) < MIN_PARAS:
+                    canon = canonical_href(html)
+                    if canon:
+                        st2, html2 = fetch_fn(canon)
+                        if st2 == 200 and html2:
+                            cp = substantial_paragraphs(html2)
+                            if len(cp) >= MIN_PARAS:
+                                return st, u, "canonical", live_summary_html(cp)
             return st, u, "dynamic", html
 
         concurrency = max(1, self.config.fetch_concurrency)
