@@ -1125,14 +1125,18 @@ def q_detect_container(spark, sf_dir):
               f"</article></body></html>"),
     )
     single_html = F.concat(
-        F.lit("<html><body><article><div><p>Alpha "), F.col("text"),
+        F.lit('<html><body><article><div class="story-body"><p>Alpha '),
+        F.col("text"),
         F.lit(f".</p><p>{fill2.strip()}.</p><p>{fill3.strip()}.</p></div>"
+              f"<div><p>Tiny related note.</p></div>"
               f"</article></body></html>"),
     )
     html = F.when(F.col("doc_id") % 2 == 0, frag_html).otherwise(single_html)
     pages = docs.select("doc_id", html.alias("html"))
     pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
-    return detect_containers(pages).select("doc_id", "xpath", "fragmented")
+    return detect_containers(pages).select(
+        "doc_id", "xpath", "css_selector", "fragmented"
+    )
 
 
 # Reranker-oracle fixture (A11/S12): a scale-independent 64-row feature
@@ -2035,7 +2039,9 @@ FROM documents
         "detect_container": """
 SELECT doc_id,
        (CASE WHEN doc_id % 2 = 0 THEN '/HTML/BODY/ARTICLE'
-             ELSE '/HTML/BODY/ARTICLE/DIV' END) AS xpath,
+             ELSE '/HTML/BODY/ARTICLE/DIV[1]' END) AS xpath,
+       (CASE WHEN doc_id % 2 = 0 THEN 'article'
+             ELSE 'div.story-body:nth-of-type(1)' END) AS css_selector,
        (doc_id % 2 = 0) AS fragmented
 FROM documents
 """.strip(),

@@ -337,13 +337,117 @@ def find_fragmented_ancestor(node: Element, min_len: int = 400,
     return None
 
 
+# ------------------------------------------------ X19 CSS selector gen
+# getCssSelector parity (contentDetector.js:496-550): climb from the
+# node emitting tag[#id][.c1[.c2]][:nth-of-type(n)] parts joined by
+# ' > ' until the selector matches exactly one element. The uniqueness
+# probe only ever sees selectors THIS generator emits, so the matcher
+# supports exactly that grammar.
+
+_CSS_ESCAPE_RE = re.compile(r"([ !\"#$%&'()*+,./:;<=>?@\[\\\]^`{|}~])")
+_SEL_PART_RE = re.compile(
+    r"^(?P<tag>[a-zA-Z0-9]+)?(?:#(?P<id>(?:\\.|[^.:#])+))?"
+    r"(?P<classes>(?:\.(?:\\.|[^.:#])+)*)(?::nth-of-type\((?P<nth>\d+)\))?$"
+)
+
+
+def _css_escape(s: str) -> str:
+    return _CSS_ESCAPE_RE.sub(r"\\\1", str(s))
+
+
+def _css_unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def _part_matches(el: Element, part: str) -> bool:
+    m = _SEL_PART_RE.match(part)
+    if not m:
+        return False
+    if m.group("tag") and el.tag != m.group("tag").lower():
+        return False
+    if m.group("id") and el.get("id") != _css_unescape(m.group("id")):
+        return False
+    classes = [
+        _css_unescape(c) for c in re.findall(r"\.((?:\\.|[^.:#])+)", m.group("classes") or "")
+    ]
+    have = el.classes
+    if any(c not in have for c in classes):
+        return False
+    nth = m.group("nth")
+    if nth:
+        parent = el.parent
+        if parent is None:
+            return False
+        same = [c for c in parent.children
+                if isinstance(c, Element) and c.tag == el.tag]
+        if el not in same or same.index(el) + 1 != int(nth):
+            return False
+    return True
+
+
+def _chain_matches(el: Element, parts: list[str]) -> bool:
+    if not _part_matches(el, parts[-1]):
+        return False
+    node = el.parent
+    for part in reversed(parts[:-1]):
+        if node is None or node.tag == "#document" or not _part_matches(node, part):
+            return False
+        node = node.parent
+    return True
+
+
+def _query_count(root: Element, parts: list[str]) -> int:
+    return sum(1 for el in root.iter() if _chain_matches(el, parts))
+
+
+def _doc_root(el: Element) -> Element:
+    node = el
+    while node.parent is not None:
+        node = node.parent
+    return node
+
+
+def css_selector(el: Element) -> str:
+    """X19 getCssSelector: unique-ish CSS path for a node."""
+    root = _doc_root(el)
+    node_id = el.get("id")
+    if node_id:
+        id_sel = f"#{_css_escape(node_id)}"
+        if sum(1 for e in root.iter() if e.get("id") == node_id) == 1:
+            return id_sel
+    parts: list[str] = []
+    node: Element | None = el
+    while node is not None and node.tag != "#document":
+        part = node.tag
+        nid = node.get("id")
+        if nid:
+            parts.insert(0, f"{part}#{_css_escape(nid)}")
+            break
+        classes = [c for c in node.classes if c][:2]
+        if classes:
+            part += "." + ".".join(_css_escape(c) for c in classes)
+        parent = node.parent
+        if parent is not None and parent.tag != "#document":
+            same = [c for c in parent.children
+                    if isinstance(c, Element) and c.tag == node.tag]
+            if len(same) > 1:
+                part += f":nth-of-type({same.index(node) + 1})"
+        parts.insert(0, part)
+        if _query_count(root, parts) == 1:
+            break
+        node = node.parent
+        if node is None or node.tag == "html":
+            break
+    return " > ".join(parts)
+
+
 def detect_container(html: str | None, min_len: int = 400,
                      max_ld: float = 0.5) -> dict:
     """Per-page detection with drill-down + fragmentation promotion:
     gather → drill each candidate → heuristic score → best (with the
     reference's threshold fallback to the runner-up) → promote to a
     fragmented ancestor when the body is split across siblings."""
-    empty = {"xpath": None, "fragmented": False}
+    empty = {"xpath": None, "css_selector": None, "fragmented": False}
     if not html:
         return empty
     root = parse_html(html)
@@ -362,13 +466,20 @@ def detect_container(html: str | None, min_len: int = 400,
         selected = scored[1][0]
     frag = find_fragmented_ancestor(selected, min_len, max_ld)
     if frag is not None:
-        return {"xpath": _xpath(frag), "fragmented": True}
-    return {"xpath": _xpath(selected), "fragmented": False}
+        selected, fragmented = frag, True
+    else:
+        fragmented = False
+    return {
+        "xpath": _xpath(selected),
+        "css_selector": css_selector(selected),
+        "fragmented": fragmented,
+    }
 
 
 DETECT_STRUCT = T.StructType(
     [
         T.StructField("xpath", T.StringType()),
+        T.StructField("css_selector", T.StringType()),
         T.StructField("fragmented", T.BooleanType()),
     ]
 )

@@ -142,7 +142,8 @@ def test_fragmentation_promotes_to_parent():
             f"<div><p>{fill.strip()} three.</p></div>"
             "</article></body></html>")
     got = detect_container(html)
-    assert got == {"xpath": "/HTML/BODY/ARTICLE", "fragmented": True}
+    assert got == {"xpath": "/HTML/BODY/ARTICLE", "css_selector": "article",
+                   "fragmented": True}
 
 
 def test_drill_down_selects_dense_child_without_promotion():
@@ -156,7 +157,8 @@ def test_drill_down_selects_dense_child_without_promotion():
             f"<p>{fill.strip()} three.</p></div>"
             "</article></body></html>")
     got = detect_container(html)
-    assert got == {"xpath": "/HTML/BODY/ARTICLE/DIV", "fragmented": False}
+    assert got == {"xpath": "/HTML/BODY/ARTICLE/DIV", "css_selector": "div",
+                   "fragmented": False}
 
 
 def test_single_dominant_part_does_not_qualify():
@@ -174,3 +176,26 @@ def test_single_dominant_part_does_not_qualify():
     )
     art = root.find("article")
     assert evaluate_fragmentation(art)["qualifies"] is False
+
+
+def test_css_selector_forms():
+    """X19 getCssSelector (contentDetector.js:496-550): unique id wins;
+    classes capped at 2; nth-of-type only among same-tag siblings."""
+    from horseman_article_parser_spark.functions.htmldom import parse_html
+    from horseman_article_parser_spark.operators.content_detector import (
+        css_selector,
+    )
+
+    root = parse_html(
+        '<html><body>'
+        '<div id="uniq"><p>x</p></div>'
+        '<section class="a b c d"><p>y</p></section>'
+        '<div><span>1</span><span>2</span></div>'
+        '</body></html>'
+    )
+    by_id = [e for e in root.iter() if e.get("id") == "uniq"][0]
+    assert css_selector(by_id) == "#uniq"
+    section = root.find("section")
+    assert css_selector(section) == "section.a.b"
+    spans = root.find_all("span")
+    assert css_selector(spans[1]) == "span:nth-of-type(2)"
