@@ -125,6 +125,9 @@ ARTICLE_STRUCT = T.StructType(
         T.StructField("headline", T.StringType()),
         T.StructField("article_body", T.StringType()),
         T.StructField("n_jsonld_articles", T.IntegerType()),
+        # X13: the deduped JSON-LD article nodes themselves, JS-style
+        # stringified, encounter order (structuredData.js `articles[]`)
+        T.StructField("jsonld_articles", T.ArrayType(T.StringType())),
         T.StructField("tables", T.ArrayType(TABLE_STRUCT)),
         T.StructField(
             "definitions",
@@ -213,11 +216,15 @@ def _meta_map(root: Element) -> dict[str, str]:
     return out
 
 
-def _jsonld_articles(root: Element) -> tuple[str | None, str | None, int]:
+def _jsonld_articles(root: Element) -> tuple[str | None, str | None, list[str]]:
     """BFS every JSON-LD block for @type matching /Article$/i; first
-    headline/articleBody win; article nodes deduped by JSON string."""
+    headline/articleBody win; article nodes deduped by their JS-style
+    JSON string (insertion-order keys, no spaces) and emitted in
+    encounter order — the reference's `articles[]`
+    (/root/reference/controllers/structuredData.js:198-258, X13)."""
     headline = body = None
     seen: set[str] = set()
+    articles: list[str] = []
     for script in root.find_all("script"):
         if (script.get("type") or "").lower() != "application/ld+json":
             continue
@@ -239,15 +246,18 @@ def _jsonld_articles(root: Element) -> tuple[str | None, str | None, int]:
             ntype = node.get("@type")
             types = ntype if isinstance(ntype, list) else [ntype]
             if any(isinstance(t, str) and _ARTICLE_TYPE_RE.search(t) for t in types):
-                key = json.dumps(node, sort_keys=True)
+                # JS JSON.stringify: insertion-order keys, no spaces,
+                # non-ASCII unescaped — the reference's dedupe key
+                key = json.dumps(node, separators=(",", ":"), ensure_ascii=False)
                 if key not in seen:
                     seen.add(key)
+                    articles.append(key)
                     if headline is None and isinstance(node.get("headline"), str):
                         headline = clean_ws(node["headline"])
                     if body is None and isinstance(node.get("articleBody"), str):
                         body = node["articleBody"]
             queue.extend(v for v in node.values() if isinstance(v, (dict, list)))
-    return headline, body, len(seen)
+    return headline, body, articles
 
 
 def _find_caption(img: Element, root: Element) -> str | None:
@@ -534,7 +544,7 @@ def extract_article(url: str | None, html: str | None) -> dict:
     title_el = root.find("title")
     doc_title = clean_ws(title_el.text()) if title_el else None
     meta = _meta_map(root)
-    headline, article_body, n_articles = _jsonld_articles(root)
+    headline, article_body, jsonld_arts = _jsonld_articles(root)
     h1 = container.find("h1") or root.find("h1")
     title = (
         normalize_title(headline)
@@ -552,7 +562,8 @@ def extract_article(url: str | None, html: str | None) -> dict:
         "images": _extract_images(container, root, url),
         "headline": headline,
         "article_body": article_body,
-        "n_jsonld_articles": n_articles,
+        "n_jsonld_articles": len(jsonld_arts),
+        "jsonld_articles": jsonld_arts,
         "tables": _extract_tables(container),
         "definitions": _extract_definitions(container),
         "figures": _extract_figures(container),
