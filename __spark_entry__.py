@@ -633,6 +633,23 @@ def q_excerpt(spark, sf_dir):
     return docs.select("doc_id", TS.excerpt_col("text").alias("excerpt"))
 
 
+def q_keywords_cleaned(spark, sf_dir):
+    """N3 keyword cleaning cascade (keywordParser.js:84-96): injected
+    probe tokens — 'Élan' (diacritic survives the surface, normalized
+    for dedupe), 'NASA' (all-caps len 4 kept), 'UNESCO' (all-caps >4
+    rejected), '42' (digits rejected), "Cat's" (possessive stripped) —
+    plus corpus TF; exact oracle sharing the diacritic map constant."""
+    docs = _load(_prep(spark), sf_dir, "documents").filter(F.col("doc_id") < 30)
+    # probes repeated 25x so they dominate the TF ranking: the top-8 must
+    # then contain exactly the SURVIVORS (Élan, NASA, Cat) and exclude
+    # the rejected forms (UNESCO, 42)
+    probes = " Élan NASA UNESCO 42 Cat's" * 25
+    docs2 = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(probes)).alias("text")
+    )
+    return TS.keywords_cleaned_topk(docs2, k=8)
+
+
 def q_keywords_topk(spark, sf_dir):
     docs = _load(_prep(spark), sf_dir, "documents")
     return TS.keywords_topk(docs, k=10)
@@ -1553,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentiment": q_sentiment,
         "summary": q_summary,
         "keywords_topk": q_keywords_topk,
+        "keywords_cleaned": q_keywords_cleaned,
         "normalize_entity": q_normalize_entity,
         "spellcheck": q_spellcheck,
         "spellcheck_suggest": q_spellcheck_suggest,
@@ -2036,6 +2054,42 @@ WITH toks AS (
   FROM tf
 )
 SELECT doc_id, term, tf, rank FROM r WHERE rank <= 10
+""".strip(),
+        "keywords_cleaned": f"""
+WITH d AS (
+  SELECT doc_id, text || repeat(' Élan NASA UNESCO 42 Cat''s', 25) AS text
+  FROM documents WHERE doc_id < 30
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM d
+), c AS (
+  SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS tt FROM toks
+), n AS (
+  SELECT doc_id, tt,
+         lower(trim(translate(tt, '{TS.DIAC_SRC}', '{TS.DIAC_DST}'))) AS norm,
+         regexp_replace(regexp_replace(tt, '[''’][sS]\\b', '', 'g'),
+                        '[^\\p{{L}}\\p{{N}}]+$', '', 'g') AS sp
+  FROM c
+), f AS (
+  SELECT doc_id, upper(substr(sp, 1, 1)) || substr(sp, 2) AS cleaned
+  FROM n
+  WHERE regexp_matches(tt, '\\p{{L}}')
+    AND length(norm) >= 2
+    AND norm NOT IN ({", ".join(f"'{w}'" for w in TS.STOPWORDS_MINI)})
+    AND NOT (tt = upper(tt) AND regexp_matches(tt, '\\p{{Lu}}')
+             AND length(norm) > 4)
+    AND NOT regexp_matches(norm, '^[0-9]+$')
+), g AS (
+  SELECT doc_id,
+         lower(trim(translate(cleaned, '{TS.DIAC_SRC}', '{TS.DIAC_DST}'))) AS key,
+         count(*) AS tf, min(cleaned) AS keyword
+  FROM f WHERE length(cleaned) > 0 GROUP BY 1, 2
+), r AS (
+  SELECT doc_id, keyword, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, keyword ASC) AS rank
+  FROM g
+)
+SELECT doc_id, keyword, tf, rank FROM r WHERE rank <= 8
 """.strip(),
         "normalize_entity": """
 SELECT p_partkey,

@@ -401,6 +401,99 @@ def excerpt_col(text: Column | str, limit: int = 200) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
+# ------------------------------------------------ keyword cleaning (N3)
+# The reference's deterministic keyword-cleaning cascade
+# (/root/reference/controllers/keywordParser.js:84-96 cleanKeyword,
+# languageUtils.js:3-10 normalizeToken, :90-95 isAllCapsWord,
+# helpers.js:81-89 stripPossessive). normalizeToken's NFD+strip-marks
+# is distilled to an exact char map generated from unicodedata over the
+# Latin-1 Supplement / Latin Extended range — identical semantics for
+# every char NFD actually decomposes there, and the same map constant
+# renders into the DuckDB oracle via translate().
+
+
+def _build_diacritic_map() -> tuple[str, str]:
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x250):
+        ch = chr(cp)
+        d = unicodedata.normalize("NFD", ch)
+        if (
+            len(d) >= 2
+            and d[0].isascii()
+            and all(unicodedata.combining(c) for c in d[1:])
+        ):
+            src.append(ch)
+            dst.append(d[0])
+    return "".join(src), "".join(dst)
+
+
+DIAC_SRC, DIAC_DST = _build_diacritic_map()
+
+
+def normalize_token_col(c: Column) -> Column:
+    """normalizeToken: NFD diacritic strip (map-exact) + lower + trim."""
+    return F.lower(F.trim(F.translate(c, DIAC_SRC, DIAC_DST)))
+
+
+def strip_possessive_col(c: Column) -> Column:
+    """stripPossessive on a single token: drop 's / ’s then trailing
+    non-alphanumerics (helpers.js:81-89)."""
+    return F.regexp_replace(
+        F.regexp_replace(c, r"['’][sS]\b", ""), r"[^\p{L}\p{N}]+$", ""
+    )
+
+
+def clean_keyword_col(tok: Column,
+                      stopwords: tuple[str, ...] = STOPWORDS_MINI) -> Column:
+    """cleanKeyword: NULL when rejected, else the capitalized
+    possessive-stripped surface form."""
+    t = F.regexp_replace(F.trim(tok), r"\s+", " ")
+    norm = normalize_token_col(t)
+    all_caps = (t == F.upper(t)) & t.rlike(r"\p{Lu}")
+    stripped = strip_possessive_col(t)
+    cleaned = F.concat(
+        F.upper(F.substring(stripped, 1, 1)), F.substring(stripped, 2, 1_000_000)
+    )
+    ok = (
+        t.rlike(r"\p{L}")
+        & (F.length(norm) >= 2)
+        & ~norm.isin(*stopwords)
+        & ~(all_caps & (F.length(norm) > 4))
+        & ~norm.rlike("^[0-9]+$")
+        & (F.length(cleaned) > 0)
+    )
+    return F.when(ok, cleaned)
+
+
+def keywords_cleaned_topk(docs: DataFrame, k: int = 10,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          stopwords: tuple[str, ...] = STOPWORDS_MINI
+                          ) -> DataFrame:
+    """N3 with the reference's cleaning cascade: tokens → cleanKeyword →
+    dedupe on the normalized cleaned form (keywordSeen,
+    keywordParser.js:33-46) → TF top-k (count desc, keyword asc)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("_raw")
+    )
+    cleaned = toks.select(
+        F.col(id_col), clean_keyword_col(F.col("_raw"), stopwords).alias("_kw")
+    ).filter(F.col("_kw").isNotNull())
+    keyed = cleaned.withColumn("_key", normalize_token_col(F.col("_kw")))
+    tf = keyed.groupBy(id_col, "_key").agg(
+        F.count("*").alias("tf"), F.min("_kw").alias("keyword")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("keyword"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "keyword", "tf", "rank")
+    )
+
+
 # ------------------------------------------------------------- top-k TF
 
 

@@ -145,14 +145,18 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, n_iters: int = 5,
     (vec_id ordering); each iteration is one assign (broadcast centroids)
     + one mean-reduce (posexplode → avg per (cluster, dim)). Centroid
     tables are tiny and always broadcast."""
-    dim = len(corpus.select(vec_col).first()[0])
-    cents = (
+    # init: TakeOrdered of n_centroids rows (tiny, deterministic order),
+    # numbered on the driver — no RDD API, no extra jobs (the old path
+    # cost a .first() for dim + an RDD zipWithIndex round-trip)
+    seed_rows = (
         corpus.orderBy(F.col(id_col) % seed_mod, id_col)
         .limit(n_centroids)
         .select(F.col(vec_col).alias("c_vec"))
-        .rdd.zipWithIndex()
-        .map(lambda t: (t[1], t[0][0]))
-        .toDF(["cluster", "c_vec"])
+        .collect()
+    )
+    cents = corpus.sparkSession.createDataFrame(
+        [(i, list(r["c_vec"])) for i, r in enumerate(seed_rows)],
+        "cluster int, c_vec array<float>",
     )
     for _ in range(n_iters):
         assigned = assign_clusters(corpus, cents, id_col, vec_col)
