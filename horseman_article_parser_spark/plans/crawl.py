@@ -41,7 +41,6 @@ from ..datagen.synthweb import fetch_page
 from ..functions.urls import canonicalize_url_udf, skip_col
 from ..operators.frontier_ops import (
     build_wave0,
-    ordered_zip_with_index,
     with_host,
 )
 from ..operators.politeness import (
@@ -379,12 +378,18 @@ class CrawlScheduler:
             order_cols=["priority", "seq"],
             n_salts=cfg.n_salts,
         )
-        # one ranked pass gives both the global (priority, seq) order AND
-        # the wave cut: rank the polite candidates, keep pos < wave_size.
-        # (An orderBy().limit() followed by a second ranking pass would
-        # sort the same rows twice.)
-        wave = ordered_zip_with_index(polite, ["priority", "seq"], out_col="pos")
-        wave = wave.filter(F.col("pos") < cfg.wave_size)
+        # wave cut = TakeOrderedAndProject: per-partition top-k + merge.
+        # The previous plan ranked the ENTIRE polite frontier through a
+        # range repartition + eager checkpoint + offsets collect (3 jobs
+        # and a full shuffle) only to keep the first wave_size rows; the
+        # top-k never materializes more than wave_size rows per task.
+        # pos is then a window over the ALREADY-LIMITED rows — bounded
+        # by wave_size (a config constant), never by frontier size.
+        from pyspark.sql.window import Window
+
+        top = polite.orderBy("priority", "seq").limit(cfg.wave_size)
+        w_pos = Window.orderBy("priority", "seq")
+        wave = top.withColumn("pos", F.row_number().over(w_pos) - 1)
         wave = wave.persist()
         self.store.write(wave.orderBy("pos"), "waves", round_no)
         if cfg.token_buckets:
@@ -448,7 +453,12 @@ class CrawlScheduler:
         ).select(*FRONTIER_COLS)
 
         # --- next pending = (pending − wave) ∪ new [∪ retries]
-        remaining = pending.join(wave.select("url"), on="url", how="left_anti")
+        # wave is <= wave_size rows (a config constant): broadcasting the
+        # anti-join build side means the 10^10-row pending frontier is
+        # NEVER shuffled to subtract one wave
+        remaining = pending.join(
+            F.broadcast(wave.select("url")), on="url", how="left_anti"
+        )
         next_pending = remaining.select(*FRONTIER_COLS).unionByName(new_frontier)
         if cfg.retry_failed:
             # T5: failed rows re-enter with attempt+1; linear backoff in

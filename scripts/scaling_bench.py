@@ -26,8 +26,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 QUICK = "--quick" in sys.argv
-SEEDS = int(os.environ.get("SPARK_GRAFT_SCALE_SEEDS", "3000" if QUICK else "18000"))
-WAVE = int(os.environ.get("SPARK_GRAFT_SCALE_WAVE", "1500" if QUICK else "12000"))
+# Wave sizing: with the in-kernel fetch fan-out (fetch_concurrency=8)
+# each executor thread drives 8 in-flight connections, so the wave must
+# be large enough that network time dominates the fixed ~10 s/round of
+# Spark job latency at BOTH levels — exactly the regime of a production
+# crawl, whose waves are 10^6+ URLs. 120k-URL waves put local[2] at
+# ~190 s of fetch per round vs ~12 s overhead.
+SEEDS = int(os.environ.get("SPARK_GRAFT_SCALE_SEEDS", "9000" if QUICK else "160000"))
+WAVE = int(os.environ.get("SPARK_GRAFT_SCALE_WAVE", "6000" if QUICK else "120000"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
 # simulated per-URL network RTT (ms). A crawler's unit of work is a
 # network fetch — the reference budgets 20-40 SECONDS per URL
