@@ -169,13 +169,162 @@ def _cap_runs(text: str, hints: dict | None) -> list[list[str]]:
 
 
 def _split_adjacent_firsts(words: list[str], first_hints: set[str]) -> list[list[str]]:
-    """W10-lite: 'John Mary' with both in the first-name hint set splits
-    into two single names (entityParser.js:851-884)."""
+    """'John Mary' with both in the first-name hint set splits into two
+    single names (entityParser.js:795-805)."""
     if len(words) == 2:
         a, b = normalize_entity(words[0]), normalize_entity(words[1])
         if a in first_hints and b in first_hints:
             return [[words[0]], [words[1]]]
     return [words]
+
+
+# ------------------------------------------------ W10 DP run segmentation
+# splitLikelyNameRuns / scoreNameSegment parity
+# (/root/reference/controllers/entityParser.js:807-885): a run of >=4
+# capitalized name-pattern words segments into 2-4-word person names by
+# dynamic programming over per-segment scores (first/last hint signals
+# weighted 2, plain name words 1, middle initials/suffixes fractional).
+# The reference also consults compromise's #FirstName/#LastName tag sets
+# inside likelyFirst/likelyLast; the deterministic stand-in keeps the
+# hint sets + COMMON_LAST_SUFFIXES signals (same shape, pinned corpus).
+
+COMMON_LAST_SUFFIXES = (
+    "sson", "son", "sen", "ez", "es", "is", "os", "as", "ian", "yan",
+    "ov", "ova", "ev", "eva", "ski", "sky", "stein", "berg", "ford",
+    "well", "wood", "land", "ton", "dson", "dsen", "man", "mann",
+    "vich", "vych", "wicz", "witz", "escu", "opoulos", "ashvili",
+    "dottir",
+)
+_GENERIC_NAME_RE = re.compile(r"^[A-ZÀ-Þ][\w'’.\-]*$", re.UNICODE)
+_INITIAL_NAME_RE = re.compile(r"^[A-ZÀ-Þ](?:[.’']|\.)?$")
+_NAME_SUFFIX_RE = re.compile(r"^(?:jr|sr|ii|iii|iv|phd|md|esq)$", re.I)
+_ALL_UPPER_RE = re.compile(r"^[A-ZÀ-Þ]+$")
+_TRAILING_UPPER_RE = re.compile(r"[A-ZÀ-Þ](?![a-zà-þ])[A-ZÀ-Þ'’.\-]*$")
+
+
+def _clean_name_candidate(part: str) -> str:
+    out = re.sub(r"^[^\w'’.\-]+", "", part)
+    out = re.sub(r"[^\w'’.\-]+$", "", out)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+def _likely_suffix(word: str) -> bool:
+    return bool(_NAME_SUFFIX_RE.match(normalize_entity(word) or ""))
+
+
+def _likely_last(word: str, last_hints: set[str]) -> bool:
+    n = normalize_entity(word)
+    if not n:
+        return False
+    if n in last_hints:
+        return True
+    return any(n.endswith(suf) for suf in COMMON_LAST_SUFFIXES)
+
+
+def _likely_first(word: str, first_hints: set[str]) -> bool:
+    n = normalize_entity(word)
+    return bool(n) and n in first_hints
+
+
+def _word_looks_suspicious(word: str, first_hints: set[str],
+                           last_hints: set[str]) -> bool:
+    cleaned = _clean_name_candidate(word)
+    if not cleaned or not _GENERIC_NAME_RE.match(cleaned):
+        return True
+    if _INITIAL_NAME_RE.match(cleaned) or _likely_suffix(cleaned):
+        return False
+    if not _TRAILING_UPPER_RE.search(cleaned) and not _ALL_UPPER_RE.match(cleaned):
+        return False
+    return not (
+        _likely_first(cleaned, first_hints) or _likely_last(cleaned, last_hints)
+    )
+
+
+def _score_name_segment(segment: list[str], first_hints: set[str],
+                        last_hints: set[str]) -> tuple[float, str] | None:
+    """scoreNameSegment (entityParser.js:807-849)."""
+    if not 2 <= len(segment) <= 4:
+        return None
+    if not all(_GENERIC_NAME_RE.match(p) for p in segment):
+        return None
+    cleaned = [_clean_name_candidate(p) for p in segment]
+    if not all(cleaned):
+        return None
+    if any(_word_looks_suspicious(w, first_hints, last_hints) for w in cleaned):
+        return None
+    first, last = cleaned[0], cleaned[-1]
+    if not (first[:1].isupper() and last[:1].isupper()):
+        return None
+    if _likely_suffix(first) or _INITIAL_NAME_RE.match(last):
+        return None
+    first_is_first = _likely_first(first, first_hints)
+    last_is_last = _likely_last(last, last_hints)
+    if not first_is_first and _INITIAL_NAME_RE.match(first):
+        return None
+    score = (2.0 if first_is_first else 1.0) + (2.0 if last_is_last else 1.0)
+    has_middle_initial = False
+    for word in cleaned[1:-1]:
+        if not word[:1].isupper():
+            return None
+        if _likely_suffix(word):
+            score += 0.25
+        elif _INITIAL_NAME_RE.match(word):
+            has_middle_initial = True
+            score += 0.5
+        elif (
+            _likely_first(word, first_hints)
+            or _likely_last(word, last_hints)
+            or _GENERIC_NAME_RE.match(word)
+        ):
+            score += 0.25
+        else:
+            return None
+    if has_middle_initial and len(cleaned) < 3:
+        return None
+    return score, " ".join(cleaned)
+
+
+def _split_likely_name_runs(words: list[str], first_hints: set[str],
+                            last_hints: set[str]) -> list[str] | None:
+    """splitLikelyNameRuns (entityParser.js:851-885): best DP cover of
+    the run by 2-4-word segments; None when the run shouldn't split."""
+    if len(words) < 4:
+        return None
+    if not all(_GENERIC_NAME_RE.match(p) for p in words):
+        return None
+    first_signals = sum(
+        1 for w in words
+        if _likely_first(w, first_hints) or _INITIAL_NAME_RE.match(w)
+    )
+    if first_signals < 2 and len(words) < 6:
+        return None
+    n = len(words)
+    dp: list[tuple[float, list[str]] | None] = [None] * (n + 1)
+    dp[n] = (0.0, [])
+    for i in range(n - 1, -1, -1):
+        best: tuple[float, list[str]] | None = None
+        for size in (2, 3, 4):
+            end = i + size
+            if end > n:
+                break
+            seg = _score_name_segment(words[i:end], first_hints, last_hints)
+            if seg is None or dp[end] is None:
+                continue
+            total = seg[0] + dp[end][0]
+            if best is None or total > best[0]:
+                best = (total, [seg[1], *dp[end][1]])
+        dp[i] = best
+    if dp[0] is None or len(dp[0][1]) < 2:
+        return None
+    names = dp[0][1]
+    if not all(len(name.split()) >= 2 for name in names):
+        return None
+    out = []
+    for name in names:
+        name = re.sub(r"\s+", " ", name).strip()
+        name = re.sub(r"[.]+$", "", name)
+        out.append(name[:1].upper() + name[1:])
+    return out
 
 
 def extract_entities(text: str | None, hints: dict | None = None) -> dict:
@@ -237,7 +386,16 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
             continue
         # person path: strip job-title tail, normalize initials
         words = _trim_job_title_tail(words)
-        for split in _split_adjacent_firsts(words, first_hints):
+        # W10: a >=4-word run of name-pattern words segments into 2-4
+        # word names by the DP splitter when enough first-name signals
+        # exist; otherwise the adjacent-firsts 2-word split applies
+        last_hints = {normalize_entity(x) for x in hints.get("last", [])}
+        dp_names = _split_likely_name_runs(words, first_hints, last_hints)
+        if dp_names is not None:
+            splits = [name.split(" ") for name in dp_names]
+        else:
+            splits = _split_adjacent_firsts(words, first_hints)
+        for split in splits:
             cleaned = [w[:-1] if _INITIAL_RE.match(w) and w.endswith(".") else w
                        for w in split]
             # honorific-only or single stop-word runs are noise

@@ -109,3 +109,35 @@ def test_entities_exploded_dataframe(spark):
     assert (0, "places", "Paris") in got
     assert (0, "orgs", "Google") in got
     assert not any(r.doc_id == 1 for r in rows)
+
+
+def test_dp_name_run_segmentation():
+    """W10 splitLikelyNameRuns (entityParser.js:807-885): a 4+-word run
+    with enough first-name signals segments into 2-4-word names via DP."""
+    from horseman_article_parser_spark.operators.entities import (
+        extract_entities,
+    )
+
+    hints = {"first": ["john", "mary"], "last": ["smith", "jones"]}
+    got = extract_entities("Reporters met John Smith Mary Jones today.", hints)
+    assert "John Smith" in got["people"] and "Mary Jones" in got["people"]
+    assert "John Smith Mary Jones" not in got["people"]
+    # without hint signals the run must NOT split
+    got2 = extract_entities("Reporters met John Smith Mary Jones today.", {})
+    assert "John Smith Mary Jones" in got2["people"]
+
+
+def test_dp_segment_scoring_prefers_hint_boundaries():
+    from horseman_article_parser_spark.operators.entities import (
+        _split_likely_name_runs,
+    )
+
+    first = {"john", "mary"}
+    last = {"smith", "jones"}
+    # middle initials attach to the correct segment (3-word name)
+    got = _split_likely_name_runs(
+        ["John", "A.", "Smith", "Mary", "Jones"], first, last
+    )
+    assert got == ["John A. Smith", "Mary Jones"]
+    # runs shorter than 4 words never split
+    assert _split_likely_name_runs(["John", "Smith"], first, last) is None
