@@ -194,6 +194,35 @@ _CONTAINER_TAGS = frozenset(("div", "article", "section", "main"))
 _FRAG_CONTAINERS = frozenset(("article", "section", "main"))
 
 
+def _clone_subtree(el: Element, parent: Element | None = None) -> Element:
+    copy = Element(el.tag, dict(el.attrs), parent)
+    copy.children = [
+        _clone_subtree(c, copy) if isinstance(c, Element) else c
+        for c in el.children
+    ]
+    return copy
+
+
+def strip_bad_containers(el: Element) -> Element:
+    """stripBadContainers (contentDetector.js:199-206): feature
+    computation sees a CLONE with negative containers (nav/aside/footer/
+    form/header/noscript/template + negative classes) removed, so promo
+    text inside a candidate doesn't count toward its length/paragraphs."""
+    clone = _clone_subtree(el)
+
+    def prune(node: Element) -> None:
+        node.children = [
+            c for c in node.children
+            if not (isinstance(c, Element) and _is_negative(c))
+        ]
+        for c in node.children:
+            if isinstance(c, Element):
+                prune(c)
+
+    prune(clone)
+    return clone
+
+
 def _heuristic_score_py(f: dict) -> float:
     """heuristicScore (contentDetector.js:164-185) in Python, for the
     in-kernel selection; must mirror heuristic_score_col exactly
@@ -457,7 +486,10 @@ def detect_container(html: str | None, min_len: int = 400,
     scored = []
     for el in cands:
         refined = drill_down_to_content(el, min_len, max_ld)
-        f = compute_features(refined)
+        # F9: features over the stripped CLONE (the reference's
+        # `const clean = stripBadContainers(refined)`, :602-604) — the
+        # selected node stays the original for xpath/selector output
+        f = compute_features(strip_bad_containers(refined))
         scored.append((refined, f, _heuristic_score_py(f)))
     # stable order: score desc, xpath asc (pins ties like rank_candidates)
     scored.sort(key=lambda t: (-t[2], _xpath(t[0])))

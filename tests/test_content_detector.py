@@ -199,3 +199,22 @@ def test_css_selector_forms():
     assert css_selector(section) == "section.a.b"
     spans = root.find_all("span")
     assert css_selector(spans[1]) == "span:nth-of-type(2)"
+
+
+def test_strip_bad_containers_excludes_promo_from_features():
+    """F9: a promo aside inside the winning container must not count
+    toward its features, and must not drag selection to a decoy."""
+    from horseman_article_parser_spark.functions.htmldom import parse_html
+    from horseman_article_parser_spark.operators.content_detector import (
+        compute_features,
+        strip_bad_containers,
+    )
+
+    fill = "word " * 90
+    html = (f'<div><p>{fill.strip()}.</p>'
+            f'<aside class="promo"><p>{"buy " * 120}now.</p></aside></div>')
+    div = parse_html(html).find("div")
+    raw_len = compute_features(div)["len"]
+    clean_len = compute_features(strip_bad_containers(div))["len"]
+    assert clean_len < raw_len
+    assert clean_len <= 460  # only the real paragraph remains
