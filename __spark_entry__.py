@@ -633,6 +633,23 @@ def q_excerpt(spark, sf_dir):
     return docs.select("doc_id", TS.excerpt_col("text").alias("excerpt"))
 
 
+def q_string_helpers(spark, sf_dir):
+    """X3 stripPunctuation + X5 toTitleCase (helpers.js:98-109) — exact
+    string oracle incl. the JS quirks (ASCII-\\w title casing leaves a
+    leading accented char untouched; apostrophes/hyphens survive the
+    punctuation strip)."""
+    docs = _load(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("the QUICK brown—fox's №"), d, F.lit(" (mixed) élan  runs"),
+    )
+    return docs.select(
+        "doc_id",
+        TS.strip_punctuation_col(raw).alias("stripped"),
+        TS.title_case_col(raw).alias("titled"),
+    )
+
+
 def q_keywords_cleaned(spark, sf_dir):
     """N3 keyword cleaning cascade (keywordParser.js:84-96): injected
     probe tokens — 'Élan' (diacritic survives the surface, normalized
@@ -1571,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary": q_summary,
         "keywords_topk": q_keywords_topk,
         "keywords_cleaned": q_keywords_cleaned,
+        "string_helpers": q_string_helpers,
         "normalize_entity": q_normalize_entity,
         "spellcheck": q_spellcheck,
         "spellcheck_suggest": q_spellcheck_suggest,
@@ -2054,6 +2072,24 @@ WITH toks AS (
   FROM tf
 )
 SELECT doc_id, term, tf, rank FROM r WHERE rank <= 10
+""".strip(),
+        "string_helpers": """
+WITH d AS (
+  SELECT doc_id,
+         'the QUICK brown—fox''s №' || doc_id || ' (mixed) élan  runs' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(raw, '[^\\p{L}\\p{N}\\s''’-]+', '', 'g'),
+                           '\\s+', ' ', 'g')) AS stripped,
+       array_to_string(
+         list_transform(
+           string_split(raw, ' '),
+           w -> regexp_extract(w, '^([^\\w]*)', 1)
+                || upper(substr(w, length(regexp_extract(w, '^([^\\w]*)', 1)) + 1, 1))
+                || lower(substr(w, length(regexp_extract(w, '^([^\\w]*)', 1)) + 2))
+         ), ' ') AS titled
+FROM d
 """.strip(),
         "keywords_cleaned": f"""
 WITH d AS (

@@ -401,6 +401,33 @@ def excerpt_col(text: Column | str, limit: int = 200) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
+# ------------------------------------------------ string helpers (X3/X5)
+
+
+def strip_punctuation_col(c: Column) -> Column:
+    """X3 stripPunctuation (/root/reference/helpers.js:98-103): keep
+    letters/digits/space/'’-, collapse whitespace, trim."""
+    out = F.regexp_replace(c, r"[^\p{L}\p{N}\s'’-]+", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def title_case_col(c: Column) -> Column:
+    """X5 toTitleCase (/root/reference/helpers.js:105-109): per
+    whitespace token, find the first word char, uppercase it, lowercase
+    the rest; leading non-word chars pass through (the JS \\w\\S* match
+    starts at the first word char)."""
+    def _tc(w: Column) -> Column:
+        prefix = F.regexp_extract(w, r"^([^\w]*)", 1)
+        rest = F.substring(w, F.length(prefix) + 1, F.lit(1_000_000))
+        return F.concat(
+            prefix,
+            F.upper(F.substring(rest, 1, 1)),
+            F.lower(F.substring(rest, 2, 1_000_000)),
+        )
+
+    return F.array_join(F.transform(F.split(c, " "), _tc), " ")
+
+
 # ------------------------------------------------ keyword cleaning (N3)
 # The reference's deterministic keyword-cleaning cascade
 # (/root/reference/controllers/keywordParser.js:84-96 cleanKeyword,
