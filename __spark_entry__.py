@@ -1129,6 +1129,30 @@ def _canon_fetch(url: str) -> tuple[int, str]:
     return 200, f"<html><body><article>{body}</article></body></html>"
 
 
+def _probe_status(url: str) -> int:
+    """Synthetic HEAD probe keyed by the trailing doc id: %7==0 → 404
+    (skip), %7==1 → 405 (HEAD rejected, still fetch-worthy), else 200."""
+    d = int(url.rsplit("/", 1)[-1])
+    return 404 if d % 7 == 0 else (405 if d % 7 == 1 else 200)
+
+
+def q_http_probe(spark, sf_dir):
+    """S5 HTTP probe (httpProbe, batch-sample-run.js:34-57): preflight
+    status per URL with the 405-means-fetch-anyway rule. Exact oracle
+    by construction."""
+    from horseman_article_parser_spark.operators.probe import probe_urls
+
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    fr = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://probe.example/page/"), d).alias("url"),
+    )
+    fr = fr.repartition(fr.sparkSession.sparkContext.defaultParallelism)
+    return probe_urls(fr, _probe_status).select("doc_id", "url", "status", "ok")
+
+
 def q_canonical_refetch(spark, sf_dir):
     """S8 empty-content fallback chain (index.js:1243-1336): docs%3==0
     are rich (no rescue), %3==1 are thin WITH rel=canonical (rescued —
@@ -1597,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_candidates": q_content_candidates,
         "detect_container": q_detect_container,
         "canonical_refetch": q_canonical_refetch,
+        "http_probe": q_http_probe,
         "reranker_train": q_reranker_train,
         # dedup (training-pipeline ops)
         "dedup_exact": q_dedup_exact,
@@ -2164,6 +2189,13 @@ SELECT doc_id,
        1 AS dp,
        0 AS heads,
        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS img_count
+FROM documents
+""".strip(),
+        "http_probe": """
+SELECT doc_id,
+       'https://probe.example/page/' || doc_id AS url,
+       (CASE doc_id % 7 WHEN 0 THEN 404 WHEN 1 THEN 405 ELSE 200 END) AS status,
+       (doc_id % 7 <> 0) AS ok
 FROM documents
 """.strip(),
         "canonical_refetch": f"""

@@ -99,6 +99,12 @@ class CrawlConfig:
     # ('amp' | 'dynamic') to results for the A2 per-source rollup.
     amp_static_first: bool = False
     amp_min_chars: int = 1000
+    # S5 HTTP probe: preflight status check before the full fetch
+    # (httpProbe, /root/reference/scripts/batch-sample-run.js:34-57) —
+    # a failing probe (not ok and not 405) skips the page fetch and
+    # records the probe status. Off by default (parity fixtures pin the
+    # probe-less wave; the reference only probes in its batch scripts).
+    probe_first: bool = False
     # S8 empty-content fallback: when a fetched page yields <2
     # substantial paragraphs, follow its rel=canonical link in-kernel
     # and substitute the reference's synthesized live-summary container
@@ -149,9 +155,11 @@ class CrawlScheduler:
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
         fetch_fn: Callable[[str], tuple[int, str]] | None = None,
+        probe_fn: Callable[[str], int] | None = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
+        self.probe_fn = probe_fn
         self.store = CrawlStore(store_dir)
         self.robots = robots
         self.budgets = host_budgets(robots)
@@ -243,10 +251,19 @@ class CrawlScheduler:
         ) + f", `status` int, `source` string, `article` {ARTICLE_STRUCT.simpleString()}"
 
         rescue = self.config.canonical_rescue
+        probe_first = self.config.probe_first
+        probe_fn = getattr(self, "probe_fn", None)
 
         def fetch_one(u: str) -> tuple[int, str, str, str]:
-            """(status, final_url, source, html) with optional AMP race
-            and optional canonical thin-page rescue (S8)."""
+            """(status, final_url, source, html) with optional HEAD→GET
+            probe (S5), AMP race (S7) and canonical rescue (S8)."""
+            if probe_first:
+                from ..operators.probe import probe_ok
+
+                pf = probe_fn or (lambda url: fetch_fn(url)[0])
+                st0 = pf(u)
+                if not probe_ok(st0):
+                    return st0, u, "probe", ""
             if amp_first:
                 for cu in amp_candidates(u) or []:
                     st, html = fetch_fn(cu)
