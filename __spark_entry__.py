@@ -1582,7 +1582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_skip_filter": q_url_skip_filter,
         "url_likely_articles": q_url_likely_articles,
         "url_canonicalize": q_url_canonicalize,
-        "amp_candidates": q_amp_candidates,
         "seen_antijoin": q_seen_antijoin,
         "round_robin_interleave": q_round_robin_interleave,
         "politeness_budget": q_politeness_budget,
@@ -1597,7 +1596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_meta": q_extract_meta,
         "extract_jsonld": q_extract_jsonld,
         "extract_images": q_extract_images,
-        "extract_tables": q_extract_tables,
         "liveblog": q_liveblog,
         # text renderings (F7/F10/X10)
         "text_render": q_text_render,
@@ -1612,7 +1610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary": q_summary,
         "keywords_topk": q_keywords_topk,
         "keywords_cleaned": q_keywords_cleaned,
-        "string_helpers": q_string_helpers,
         "normalize_entity": q_normalize_entity,
         "spellcheck": q_spellcheck,
         "spellcheck_suggest": q_spellcheck_suggest,
@@ -1636,9 +1633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         # streaming metrics (A1/A3/T7)
         "windowed_metrics": q_windowed_metrics,
-        "bag_fingerprint": q_bag_fingerprint,
         # ---- below this line: IDs already covered above, demo breadth,
         # ---- and rows-only stateful checks (driver window overflow-safe)
+        "bag_fingerprint": q_bag_fingerprint,
+        "amp_candidates": q_amp_candidates,
+        "extract_tables": q_extract_tables,
+        "string_helpers": q_string_helpers,
         "frontier_wave0": q_frontier_wave0,
         "extract_figures": q_extract_figures,
         "title_suffix_strip": q_title_suffix_strip,
