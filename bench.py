@@ -136,11 +136,12 @@ def _run_crawl(spark, seeds_n: int, wave: int, rounds: int, cfg=None) -> dict:
 def bench_crawl(spark) -> dict:
     """Frontier URLs scheduled/sec over CRAWL_ROUNDS scheduler rounds.
 
-    One small untimed round first amortizes one-time JVM codegen +
-    Python-worker/Arrow startup (~45 s) out of the throughput number —
-    on a long-lived cluster that cost is paid once per executor, not
-    per round."""
-    _run_crawl(spark, seeds_n=300, wave=200, rounds=1)  # warm-up
+    Two untimed warm-up rounds first amortize one-time JVM codegen +
+    Python-worker/Arrow startup (~45 s; measured: the first timed round
+    after a 200-URL warm-up still pays ~35 s of JIT) out of the
+    throughput number — on a long-lived cluster that cost is paid once
+    per executor, not per round."""
+    _run_crawl(spark, seeds_n=2000, wave=1000, rounds=2)  # warm-up
     return _run_crawl(spark, CRAWL_SEEDS, CRAWL_WAVE, CRAWL_ROUNDS)
 
 
