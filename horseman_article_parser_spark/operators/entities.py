@@ -411,6 +411,21 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
             add(people, name, seen_p)
             add(topics, name, seen_t)
 
+    # J5 hint cross-product (entityParser.js:1645-1657): every
+    # hints.first × hints.last pair substring-searched in the normalized
+    # text; unseen hits join the people list. The tiny×tiny cross join
+    # over a broadcastable hint table is the relational form.
+    first_raw = list(hints.get("first", []))
+    last_raw = list(hints.get("last", []))
+    if first_raw and last_raw:
+        haystack = normalize_entity(text)
+        for f in first_raw:
+            for last in last_raw:
+                raw = f"{f} {last}"
+                key = normalize_entity(raw)
+                if key and key in haystack and key not in seen_p:
+                    add(people, raw, seen_p)
+
     # J4: people that equal detected places are places, not people
     place_keys = {normalize_entity(p) for p in places}
     people = [p for p in people if normalize_entity(p) not in place_keys]

@@ -141,3 +141,21 @@ def test_dp_segment_scoring_prefers_hint_boundaries():
     assert got == ["John A. Smith", "Mary Jones"]
     # runs shorter than 4 words never split
     assert _split_likely_name_runs(["John", "Smith"], first, last) is None
+
+
+def test_hint_cross_product_substring_search():
+    """J5 (entityParser.js:1645-1657): every first×last hint pair
+    substring-searched in the normalized text; lowercase mentions the
+    capitalization grammar missed are recovered."""
+    from horseman_article_parser_spark.operators.entities import (
+        extract_entities,
+    )
+
+    hints = {"first": ["ada", "grace"], "last": ["lovelace", "hopper"]}
+    text = "the award went to ada lovelace while grace hopper presented."
+    got = extract_entities(text, hints)["people"]
+    assert "Ada lovelace" in got and "Grace hopper" in got
+    # non-occurring combinations must NOT appear
+    assert all("Ada hopper" != p and "Grace lovelace" != p for p in got)
+    # without hints the lowercase names are invisible
+    assert extract_entities(text, {})["people"] == []
