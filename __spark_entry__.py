@@ -1579,6 +1579,73 @@ def q_crawl_two_rounds(spark, sf_dir):
     return w0.unionByName(w1)
 
 
+# pHash-variant masks for the image near-dup fixture: even ids get a
+# 3-bit flip (a true near-dup), odd ids a 24-bit flip (not a dup).
+PHASH_MASK_NEAR = (1 << 0) | (1 << 17) | (1 << 42)
+PHASH_MASK_FAR = 0x555555555555
+
+
+def _signed64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def q_image_near_dups(spark, sf_dir):
+    """Multimodal near-dup join: block-permutation pHash Hamming search
+    (8 blocks × 8 bits ⇒ EXACT recall for hamming ≤ 7 by pigeonhole)
+    over the payload table plus synthetic variants — even-id variants
+    flip 3 bits (must pair), odd-id variants flip 24 (must not). The
+    oracle recomputes ALL pairs brute-force in SQL over the same
+    (deterministic) pHashes, so the bucketed join is checked against
+    exhaustive search."""
+    from horseman_article_parser_spark.datagen.images import build_images_table
+    from horseman_article_parser_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    spark = _prep(spark)
+    base = build_images_table(spark, n=64).select("image_id", "phash")
+    idx = F.substring("image_id", 5, 8).cast("int")
+    mask = F.when(idx % 2 == 0, F.lit(PHASH_MASK_NEAR)).otherwise(
+        F.lit(PHASH_MASK_FAR)
+    )
+    variants = base.select(
+        F.concat(F.lit("var-"), F.substring("image_id", 5, 8)).alias("image_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    allv = base.unionByName(variants)
+    return phash_near_dup_pairs(allv, max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _image_near_dups_sql() -> str:
+    """Brute-force twin over the same deterministic pHash values,
+    inlined as VALUES (computed by datagen, like the reference corpus
+    itself)."""
+    from horseman_article_parser_spark.datagen.images import (
+        image_id_for,
+        phash64,
+        synth_pixels,
+    )
+
+    rows = []
+    for i in range(64):
+        px, _, _ = synth_pixels(i)
+        ph = _signed64(int(phash64(px)))
+        rows.append((image_id_for(i), ph))
+        m = PHASH_MASK_NEAR if i % 2 == 0 else PHASH_MASK_FAR
+        rows.append((f"var-{i:08d}", _signed64(ph ^ m)))
+    values = ", ".join(f"('{i}', CAST({p} AS BIGINT))" for i, p in rows)
+    return f"""
+WITH t(id, ph) AS (VALUES {values})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM t a JOIN t b ON a.id < b.id
+WHERE bit_count(xor(a.ph, b.ph)) <= 6
+""".strip()
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal payload table (input_hint schema): synthesize
     (image_id, bytes, w, h, fmt, caption, phash), decode the bytes
@@ -1678,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         # streaming metrics (A1/A3/T7)
         "windowed_metrics": q_windowed_metrics,
+        "image_near_dups": q_image_near_dups,
         # ---- below this line: IDs already covered above, demo breadth,
         # ---- and rows-only stateful checks (driver window overflow-safe)
         "bag_fingerprint": q_bag_fingerprint,
@@ -2272,6 +2340,7 @@ SELECT doc_id,
 FROM documents
 """.strip(),
         "image_features": _image_features_sql(),
+        "image_near_dups": _image_near_dups_sql(),
         "http_probe": """
 SELECT doc_id,
        'https://probe.example/page/' || doc_id AS url,
