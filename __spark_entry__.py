@@ -815,6 +815,29 @@ def q_ann_lsh_buckets(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF search end-to-end with BY-CONSTRUCTION centroids (every 31st
+    vector, so the oracle needs no k-means): nearest-centroid inverted
+    lists, n_probe=4 routing, exact cosine rerank inside the probed
+    lists only — the scale path for ANN beyond brute force."""
+    emb = _load(_prep(spark), sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select(
+            (F.col("vec_id") / 31).cast("int").alias("cluster"),
+            F.col("embedding").alias("c_vec"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    out = SIM.ivf_topk(emb, queries, cents, k=8, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_x1e6"),
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     emb = _load(_prep(spark), sf_dir, "embeddings")
     return (
@@ -1746,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming metrics (A1/A3/T7)
         "windowed_metrics": q_windowed_metrics,
         "image_near_dups": q_image_near_dups,
+        "ivf_topk": q_ivf_topk,
         # ---- below this line: IDs already covered above, demo breadth,
         # ---- and rows-only stateful checks (driver window overflow-safe)
         "bag_fingerprint": q_bag_fingerprint,
@@ -2341,6 +2365,53 @@ FROM documents
 """.strip(),
         "image_features": _image_features_sql(),
         "image_near_dups": _image_near_dups_sql(),
+        "ivf_topk": """
+WITH cent AS (
+  SELECT CAST(vec_id // 31 AS INT) AS cluster, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 31 = 0
+), corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT c.vec_id, ct.cluster,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, ct.cv)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+                      ct.cluster) AS rn
+    FROM corpus c, cent ct) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 6
+), probes AS (
+  SELECT query_id, cluster, qv FROM (
+    SELECT q.query_id, ct.cluster, q.qv,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, ct.cv)
+                      / (sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+                      ct.cluster) AS rn
+    FROM q, cent ct) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.qv, c.v)
+         / (sqrt(list_dot_product(p.qv, p.qv))
+            * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM probes p
+  JOIN asg a ON a.cluster = p.cluster
+  JOIN corpus c ON c.vec_id = a.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(round(cos * 1000000) AS BIGINT) AS cosine_x1e6
+FROM r WHERE rank <= 8
+""".strip(),
         "http_probe": """
 SELECT doc_id,
        'https://probe.example/page/' || doc_id AS url,
