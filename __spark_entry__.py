@@ -1573,10 +1573,12 @@ def q_windowed_metrics(spark, sf_dir):
     )
     out = windowed_host_metrics(events, window_duration="1 hour",
                                 watermark="2 hours")
+    # Parity rule: floats never reach the driver's hash — scale to BIGINT
+    # (round(x*10^4)) on BOTH engine and oracle sides (VERDICT r02 #1).
     return out.select(
         F.unix_timestamp("window_start").alias("win_start"),
         "host", "scheduled", "ok", "err",
-        F.round(F.col("avg_ms"), 4).alias("avg_ms"),
+        F.round(F.col("avg_ms") * 10000).cast("bigint").alias("avg_ms_x1e4"),
     )
 
 
@@ -2617,7 +2619,7 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
        count(*) AS scheduled,
        sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS ok,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
-       round(avg(CAST(floor(value * 100) AS INT)), 4) AS avg_ms
+       CAST(round(avg(CAST(floor(value * 100) AS INT)) * 10000) AS BIGINT) AS avg_ms_x1e4
 FROM events GROUP BY 1, 2
 """.strip(),
         "sessionize": """

@@ -337,6 +337,7 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
     first_hints |= {
         normalize_entity(x) for x in (hints.get("secondary") or {}).get("people", [])
     }
+    last_hints = {normalize_entity(x) for x in hints.get("last", [])}
     places_gaz = PLACES | {normalize_entity(x) for x in hints.get("places", [])}
     orgs_gaz = ORGS | {normalize_entity(x) for x in hints.get("orgs", [])}
 
@@ -389,7 +390,6 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
         # W10: a >=4-word run of name-pattern words segments into 2-4
         # word names by the DP splitter when enough first-name signals
         # exist; otherwise the adjacent-firsts 2-word split applies
-        last_hints = {normalize_entity(x) for x in hints.get("last", [])}
         dp_names = _split_likely_name_runs(words, first_hints, last_hints)
         if dp_names is not None:
             splits = [name.split(" ") for name in dp_names]

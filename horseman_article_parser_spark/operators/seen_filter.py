@@ -320,6 +320,21 @@ class CuckooSeenFilter:
 
     def resume(self) -> None:
         self.version = self.latest_version()
+        # Geometry is part of the on-disk format: a store persisted with a
+        # different bucket count (e.g. by a build that did not round up to
+        # a power of two) must not be probed under this instance's
+        # geometry — that yields silent false negatives (re-crawled URLs).
+        if self.version >= 0:
+            with open(self._manifest_path(self.version)) as f:
+                meta = json.load(f)
+            persisted = int(meta.get("buckets", self.buckets))
+            if persisted & (persisted - 1):
+                raise ValueError(
+                    f"cuckoo store at {self.store_dir!r} has non-power-of-two "
+                    f"bucket count {persisted}; rebuild the store"
+                )
+            self.buckets = persisted
+            self.n_shards = int(meta.get("n_shards", self.n_shards))
 
     # ---------------------------------------------------------- kernels
 

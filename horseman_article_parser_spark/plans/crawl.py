@@ -257,11 +257,17 @@ class CrawlScheduler:
         def fetch_one(u: str) -> tuple[int, str, str, str]:
             """(status, final_url, source, html) with optional HEAD→GET
             probe (S5), AMP race (S7) and canonical rescue (S8)."""
+            cached = None  # (status, html) when the probe fallback was a full GET
             if probe_first:
                 from ..operators.probe import probe_ok
 
-                pf = probe_fn or (lambda url: fetch_fn(url)[0])
-                st0 = pf(u)
+                if probe_fn is not None:
+                    st0 = probe_fn(u)
+                else:
+                    # no HEAD-capable probe: the preflight IS a full GET —
+                    # cache it so a fetch-worthy URL isn't fetched twice
+                    cached = fetch_fn(u)
+                    st0 = cached[0]
                 if not probe_ok(st0):
                     return st0, u, "probe", ""
             if amp_first:
@@ -269,7 +275,7 @@ class CrawlScheduler:
                     st, html = fetch_fn(cu)
                     if st == 200 and html and len(html) >= amp_min:
                         return st, cu, "amp", html
-            st, html = fetch_fn(u)
+            st, html = cached if cached is not None else fetch_fn(u)
             if rescue and st == 200 and html:
                 from ..operators.canonical import (
                     MIN_PARAS,
