@@ -255,38 +255,91 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, bits: int = 32,
-                       id_col: str = "doc_id", n_blocks: int = 4) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ max_hamming using the
-    block-permutation trick: split the fingerprint into n_blocks chunks;
-    any pair within distance max_hamming < n_blocks shares ≥1 exact
-    chunk → equi-join per chunk, verify distance with bit_count."""
+def blocked_hamming_pairs(sig_df: DataFrame, sig_col: str, id_col: str,
+                          bits: int, n_blocks: int, max_hamming: int,
+                          max_bucket: int = 1000) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) via the block-permutation
+    trick (any pair within distance max_hamming < n_blocks shares ≥1
+    exact chunk), with TWO degenerate-skew guards (VERDICT r02 #2):
+
+    1. identical signatures COLLAPSE to one row before the chunk join —
+       a boilerplate corpus where 10^6 docs share one fingerprint
+       contributes ONE row per chunk bucket, not 10^6 (the quadratic
+       pair explosion would otherwise land in a single join task);
+       member pairs are expanded back AFTER the distance verify, so the
+       expansion is output-proportional, distributed by the high-
+       cardinality signature key.
+    2. chunk buckets holding > max_bucket DISTINCT signatures are
+       dropped (same cap as `lsh_candidate_pairs`), and identical-
+       signature groups larger than max_bucket are not expanded —
+       degenerate clusters are a dedup-cluster report's job, not a
+       pair list's.
+    """
+    members = sig_df.select(F.col(sig_col).alias("_sig"), F.col(id_col).alias("_id"))
+    usig = members.select("_sig").distinct()
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    chunks = []
-    for i in range(n_blocks):
-        chunks.append(
-            sig.select(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
-                F.col(id_col),
-                F.col("simhash"),
-            )
+    parts = [
+        usig.select(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("_sig"), i * block_bits)
+            .bitwiseAND(F.lit(mask)).alias("chunk"),
+            F.col("_sig"),
         )
-    allc = chunks[0]
-    for c in chunks[1:]:
-        allc = allc.unionByName(c)
-    a = allc.select("blk", "chunk", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = allc.select("blk", "chunk", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    pairs = (
+        for i in range(n_blocks)
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    sized = allc.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("blk", "chunk"))
+    ).filter(F.col("_n") <= max_bucket).drop("_n")
+    a = sized.select("blk", "chunk", F.col("_sig").alias("_sig_a"))
+    b = sized.select("blk", "chunk", F.col("_sig").alias("_sig_b"))
+    sig_pairs = (
         a.join(b, ["blk", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .filter(F.col("_sig_a") < F.col("_sig_b"))
+        .select("_sig_a", "_sig_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    ham = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
+    sig_pairs = sig_pairs.select("_sig_a", "_sig_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+    # expand verified signature pairs to member pairs (ids normalized so
+    # id_a < id_b regardless of which group holds the smaller id)
+    ma = members.select(F.col("_sig").alias("_sig_a"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_sig").alias("_sig_b"), F.col("_id").alias("_mb"))
+    cross = (
+        sig_pairs.join(ma, "_sig_a").join(mb, "_sig_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    # within-group pairs: identical signatures are Hamming 0 by identity
+    wg = members.withColumn(
+        "_g", F.count("*").over(Window.partitionBy("_sig"))
+    ).filter((F.col("_g") > 1) & (F.col("_g") <= max_bucket)).drop("_g")
+    wa = wg.select("_sig", F.col("_id").alias("id_a"))
+    wb = wg.select("_sig", F.col("_id").alias("id_b"))
+    within = (
+        wa.join(wb, "_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return cross.unionByName(within)
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, bits: int = 32,
+                       id_col: str = "doc_id", n_blocks: int = 4,
+                       max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming —
+    block-permutation equi-join with identical-signature collapse and
+    mega-bucket caps (see `blocked_hamming_pairs`)."""
+    return blocked_hamming_pairs(
+        sig, "simhash", id_col, bits, n_blocks, max_hamming, max_bucket
     )
 
 
@@ -295,32 +348,83 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, bits: int = 32,
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_planes: int = 8, seed: int = 7) -> DataFrame:
+                        n_planes: int = 8, seed: int = 7,
+                        max_bucket: int = 1000) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold, LSH-bucketed.
 
     Random-hyperplane signature (n_planes sign bits, deterministic seeded
     planes) buckets the vectors; exact cosine verifies within-bucket pairs.
     High thresholds ⇒ near-dups almost surely agree on all sign bits, so
-    the bucket join finds them without the O(n²) cross join."""
+    the bucket join finds them without the O(n²) cross join.
+
+    Shuffle discipline (VERDICT r02 #2/#3): fingerprint, bucket and norm
+    are all computed scan-side; only (id, fp, bucket, norm) rows enter
+    shuffles. Full vectors cross the wire exactly once — the id-keyed
+    verify join — never the bucket exchange. Identical vectors collapse
+    to one representative before the bucket self-join (they'd otherwise
+    make a degenerate bucket quadratic in ONE task on repeated-embedding
+    corpora), and buckets with > max_bucket distinct vectors are dropped,
+    as are identical-vector groups larger than max_bucket."""
     from .similarity import cosine_col, hyperplane_bucket_col, l2_norm_col
 
-    with_b = emb.select(
-        F.col(id_col), F.col(vec_col),
+    keyed = emb.select(
+        F.col(id_col).alias("_id"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.col(vec_col), lambda x: x.cast("string")))
+        ).alias("_fp"),
         hyperplane_bucket_col(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
         l2_norm_col(F.col(vec_col)).alias("_norm"),
     )
-    a = with_b.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"), F.col("_norm").alias("na"),
+    # identical vectors → identical (bucket, norm); min-id representative
+    groups = keyed.groupBy("_fp").agg(
+        F.min("_id").alias("_rep"),
+        F.first("bucket").alias("bucket"),
+        F.first("_norm").alias("_norm"),
+        F.count("*").alias("_g"),
     )
-    b = with_b.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"), F.col("_norm").alias("nb"),
+    sized = groups.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("bucket"))
+    ).filter(F.col("_n") <= max_bucket).drop("_n")
+    a = sized.select("bucket", F.col("_rep").alias("_ra"), F.col("_norm").alias("na"))
+    b = sized.select("bucket", F.col("_rep").alias("_rb"), F.col("_norm").alias("nb"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("_ra") < F.col("_rb"))
+        .select("_ra", "_rb", "na", "nb")
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_col(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cosine"))
+    # verify: vectors join back BY ID — the only shuffle vectors ride
+    va = emb.select(F.col(id_col).alias("_ra"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("_rb"), F.col(vec_col).alias("_vb"))
+    verified = (
+        cand.join(va, "_ra").join(vb, "_rb")
+        .select(
+            "_ra", "_rb",
+            cosine_col(F.col("_va"), F.col("_vb"), F.col("na"), F.col("nb")).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )
+    # expand representative pairs back to member pairs
+    members = keyed.join(groups.select("_fp", "_rep"), "_fp").select("_rep", "_id")
+    ma = members.select(F.col("_rep").alias("_ra"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("_rb"), F.col("_id").alias("_mb"))
+    cross = (
+        verified.join(ma, "_ra").join(mb, "_rb")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "cosine",
+        )
+    )
+    # within-group pairs: identical non-zero vectors have cosine exactly 1
+    wg = groups.filter(
+        (F.col("_g") > 1) & (F.col("_g") <= max_bucket) & (F.col("_norm") > 0)
+    ).select("_fp")
+    wm = keyed.join(wg, "_fp").select("_fp", "_id")
+    wa = wm.select("_fp", F.col("_id").alias("id_a"))
+    wb = wm.select("_fp", F.col("_id").alias("id_b"))
+    within = (
+        wa.join(wb, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("cosine"))
+    )
+    return cross.unionByName(within)

@@ -140,38 +140,18 @@ def psnr_vs_reference(images: DataFrame, reference_pixels) -> DataFrame:
 
 
 def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 6,
-                         n_blocks: int = 8) -> DataFrame:
+                         n_blocks: int = 8, max_bucket: int = 1000) -> DataFrame:
     """Near-duplicate images by phash Hamming distance — metadata-only
     plan: reads (image_id, phash), never `bytes`. Same block-permutation
-    equi-join as text SimHash (operators.dedup.simhash_near_pairs), over
-    64 bits in `n_blocks` chunks."""
+    equi-join as text SimHash, with the identical-signature collapse and
+    mega-bucket caps (template/solid-color image corpora put millions of
+    identical phashes in one bucket otherwise; see
+    `operators.dedup.blocked_hamming_pairs`)."""
+    from .dedup import blocked_hamming_pairs
+
     sig = images.select(F.col("image_id"), F.col("phash"))
-    block_bits = 64 // n_blocks
-    mask = (1 << block_bits) - 1
-    parts = []
-    for i in range(n_blocks):
-        parts.append(
-            sig.select(
-                F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("phash"), i * block_bits)
-                .bitwiseAND(F.lit(mask)).alias("chunk"),
-                F.col("image_id"), F.col("phash"),
-            )
-        )
-    allc = parts[0]
-    for p in parts[1:]:
-        allc = allc.unionByName(p)
-    a = allc.select("blk", "chunk", F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"))
-    b = allc.select("blk", "chunk", F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"))
-    pairs = (
-        a.join(b, ["blk", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ph_a", "ph_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return blocked_hamming_pairs(
+        sig, "phash", "image_id", 64, n_blocks, max_hamming, max_bucket
     )
 
 
