@@ -994,8 +994,9 @@ def q_spellcheck(spark, sf_dir):
         .select(F.col("word_lc").alias("word"))
     )
     entities = spark.createDataFrame([("Zzentity",)], "entity string")
-    return misspellings(docs2, dictionary, entities).select(
-        "doc_id", "line", "word_idx", "word"
+    return misspellings(docs2, dictionary, entities, positions=True).select(
+        "doc_id", "line", "word_idx", "word",
+        "col_char", "offset_start", "offset_end",
     )
 
 
@@ -2247,6 +2248,8 @@ WITH toks AS (
   WHERE string_split(phrase, ' ')[1] NOT IN ({STOP})
     AND string_split(phrase, ' ')[-1] NOT IN ({STOP})
     AND length(phrase) > 3
+    AND len(list_filter(string_split(phrase, ' '),
+                        w -> NOT {POSGATE})) = 0
 ), tf AS (
   SELECT doc_id, phrase, count(*) AS tf FROM flt GROUP BY doc_id, phrase
 ), r AS (
@@ -2256,13 +2259,15 @@ WITH toks AS (
   FROM tf
 )
 SELECT doc_id, phrase, tf, score, rank FROM r WHERE rank <= 8
-""".replace("{STOP}", "'a', 'the', 'and', 'of', 'to', 'in'").strip(),
+""".replace("{STOP}", "'a', 'the', 'and', 'of', 'to', 'in'")
+        .replace("{POSGATE}", TS.pos_noun_gate_sql("w")).strip(),
         "keywords_topk": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
 ), flt AS (
   SELECT doc_id, term FROM toks
   WHERE term NOT IN ({", ".join(f"'{w}'" for w in TS.STOPWORDS_MINI)}) AND length(term) > 1
+    AND {TS.pos_noun_gate_sql("term")}
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM flt GROUP BY doc_id, term
 ), r AS (
@@ -2307,7 +2312,8 @@ WITH d AS (
 ), f AS (
   SELECT doc_id, upper(substr(sp, 1, 1)) || substr(sp, 2) AS cleaned
   FROM n
-  WHERE regexp_matches(tt, '\\p{{L}}')
+  WHERE {TS.pos_noun_gate_sql("tt")}
+    AND regexp_matches(tt, '\\p{{L}}')
     AND length(norm) >= 2
     AND norm NOT IN ({", ".join(f"'{w}'" for w in TS.STOPWORDS_MINI)})
     AND NOT (tt = upper(tt) AND regexp_matches(tt, '\\p{{Lu}}')
@@ -2458,14 +2464,28 @@ WITH d AS (
   FROM documents),
 t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
 toks AS (
-  SELECT doc_id,
+  SELECT doc_id, ws,
          CAST(generate_subscripts(ws, 1) - 1 AS INT) AS word_idx,
          unnest(ws) AS word
   FROM t),
+pos AS (
+  SELECT doc_id, word_idx, word,
+         -- char column: preceding token lengths + one space each,
+         -- plus the stripped leading-punctuation span (0 here)
+         CAST(coalesce(list_sum(list_transform(ws[1:word_idx],
+                                               w -> length(w))), 0)
+              + word_idx + 1
+              + length(coalesce(regexp_extract(word, '^[^A-Za-z]+'), ''))
+              AS INT) AS col_char
+  FROM toks),
 freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
 dict AS (SELECT word FROM freq WHERE c >= 0.5 * (SELECT count(*) FROM documents)),
 entkeys AS (SELECT 'zzentity' AS word UNION ALL SELECT 'zzentitys')
-SELECT doc_id, 1 AS line, word_idx, word FROM toks
+SELECT doc_id, 1 AS line, word_idx, word, col_char,
+       CAST(col_char - 1 AS BIGINT) AS offset_start,
+       CAST(col_char - 1 + length(regexp_replace(word,
+              '^[^A-Za-z]+|[^A-Za-z]+$', '', 'g')) AS BIGINT) AS offset_end
+FROM pos
 WHERE word NOT IN (SELECT word FROM dict)
   AND word NOT IN (SELECT word FROM entkeys)
 """.strip(),

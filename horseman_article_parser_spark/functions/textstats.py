@@ -175,6 +175,129 @@ AFINN_MINI: dict[str, int] = {
 
 STOPWORDS_MINI = ("a", "the", "and", "of", "to", "in")
 
+# --------------------------------------------------------------- POS gate
+#
+# Deterministic stand-in for retext-pos noun gating
+# (/root/reference/controllers/keywordParser.js:10-28 runs retext-pos and
+# retext-keywords, which rank only noun / noun-phrase spans). A perceptron
+# tagger isn't reproducible as Column algebra, so the gate is: a closed
+# lexicon of function words + high-frequency verb forms + bare adverbs,
+# plus suffix heuristics (-ly adverbs, -ing gerunds, -ed participles) with
+# noun whitelists, and a proper-noun bypass for capitalized surfaces.
+# Open-class nouns pass by default (a noun lexicon is unbounded);
+# adjectives also pass, which matters for keyphrase interiors
+# ("economic growth"). Trade-off: common verb forms are dropped even in
+# noun usage ("a good run") — documented fidelity gap, far smaller than
+# the round-2 one (verbs/adverbs ranking as keywords).
+
+NON_NOUN_LEXICON = tuple(sorted({
+    # be/have/do + modals
+    "am", "is", "are", "was", "were", "been", "be",
+    "have", "has", "had", "having", "do", "does", "did", "done",
+    "will", "would", "can", "could", "shall", "should", "may", "might",
+    "must", "ought",
+    # high-frequency verb forms (base/past/participle)
+    "go", "goes", "went", "gone", "get", "gets", "got", "gotten",
+    "make", "makes", "made", "take", "takes", "took", "taken",
+    "come", "comes", "came", "see", "sees", "saw", "seen",
+    "know", "knows", "knew", "known", "say", "says", "said",
+    "think", "thinks", "thought", "want", "wants", "use", "uses",
+    "find", "finds", "found", "give", "gives", "gave", "given",
+    "tell", "tells", "told", "become", "becomes", "became",
+    "leave", "leaves", "left", "put", "puts", "mean", "means", "meant",
+    "keep", "keeps", "kept", "let", "lets", "begin", "begins", "began",
+    "begun", "seem", "seems", "help", "helps", "show", "shows", "shown",
+    "hear", "hears", "heard", "run", "runs", "ran", "move", "moves",
+    "live", "lives", "believe", "believes", "bring", "brings", "brought",
+    "happen", "happens", "write", "writes", "wrote", "written",
+    "sit", "sits", "sat", "stand", "stands", "stood", "lose", "loses",
+    "lost", "pay", "pays", "paid", "meet", "meets", "met",
+    "include", "includes", "continue", "continues", "set", "sets",
+    "learn", "learns", "lead", "leads", "led", "understand", "understood",
+    "watch", "follow", "follows", "stop", "stops", "speak", "speaks",
+    "spoke", "spoken", "read", "reads", "allow", "allows", "add", "adds",
+    "spend", "spends", "spent", "grow", "grows", "grew", "grown",
+    "win", "wins", "won", "buy", "buys", "bought", "send", "sends",
+    "sent", "build", "builds", "built", "fall", "falls", "fell",
+    "fallen", "cut", "cuts", "reach", "remain", "remains",
+    # bare adverbs / particles
+    "very", "quite", "rather", "too", "also", "often", "always", "never",
+    "sometimes", "soon", "now", "then", "here", "there", "again",
+    "almost", "already", "still", "yet", "just", "even", "perhaps",
+    "maybe", "together", "away", "back", "not", "only",
+    # prepositions / conjunctions / determiners / pronouns
+    "a", "an", "the", "and", "or", "nor", "but", "so", "if", "because",
+    "although", "though", "unless", "whether", "while", "when", "where",
+    "about", "above", "across", "after", "against", "along", "among",
+    "around", "as", "at", "before", "behind", "below", "beneath",
+    "beside", "between", "beyond", "by", "despite", "down", "during",
+    "except", "for", "from", "in", "into", "like", "near", "of", "off",
+    "on", "onto", "out", "outside", "over", "past", "per", "since",
+    "than", "that", "this", "these", "those", "through", "throughout",
+    "till", "toward", "towards", "under", "until", "up", "upon", "with",
+    "within", "without", "i", "you", "he", "she", "it", "we", "they",
+    "me", "him", "her", "us", "them", "my", "your", "his", "its", "our",
+    "their", "mine", "yours", "hers", "ours", "theirs", "myself",
+    "yourself", "himself", "herself", "itself", "ourselves",
+    "themselves", "who", "whom", "whose", "which", "what", "any", "all",
+    "both", "each", "few", "more", "most", "other", "some", "such",
+    "no", "own", "same",
+}))
+
+ING_NOUNS = tuple(sorted({
+    "morning", "evening", "building", "meeting", "training", "housing",
+    "funding", "warning", "wedding", "painting", "ceiling", "feeling",
+    "finding", "hearing", "spring", "string", "beginning", "ending",
+    "opening", "setting", "living", "writing", "reading", "learning",
+    "planning", "spending", "spelling", "heading", "booking", "clothing",
+    "engineering", "marketing", "advertising", "publishing",
+    "manufacturing", "mining", "fishing", "farming", "shipping",
+    "shopping", "cooking", "swimming", "everything", "nothing",
+    "something", "anything", "lightning", "darling", "sibling",
+    "dumpling", "duckling",
+}))
+
+ED_NOUNS = tuple(sorted({
+    "hundred", "breed", "speed", "creed", "greed", "watershed",
+    "seabed", "bobsled", "newlywed", "proceed", "exceed", "indeed",
+}))
+
+LY_NOUNS = tuple(sorted({
+    "family", "assembly", "supply", "rally", "ally", "italy",
+    "monopoly", "butterfly", "jelly", "belly", "lily", "anomaly",
+    "bully", "folly", "holly", "tally", "july",
+}))
+
+
+def pos_noun_gate_col(tok: Column) -> Column:
+    """TRUE when `tok` may rank as a keyword (noun-ish). Capitalized
+    surfaces pass (proper nouns); lowercase surfaces fail on the
+    function-word/common-verb lexicon and the suffix heuristics."""
+    low = F.lower(tok)
+    lex_ok = ~low.isin(*NON_NOUN_LEXICON)
+    ly_bad = low.endswith("ly") & (F.length(low) > 4) & ~low.isin(*LY_NOUNS)
+    ing_bad = low.endswith("ing") & (F.length(low) > 5) & ~low.isin(*ING_NOUNS)
+    ed_bad = low.endswith("ed") & (F.length(low) > 4) & ~low.isin(*ED_NOUNS)
+    return tok.rlike(r"^\p{Lu}") | (lex_ok & ~ly_bad & ~ing_bad & ~ed_bad)
+
+
+def pos_noun_gate_sql(expr: str) -> str:
+    """DuckDB twin of `pos_noun_gate_col`, generated from the same
+    constants so the two sides cannot drift."""
+    def inlist(words):
+        return ", ".join(f"'{w}'" for w in words)
+
+    low = f"lower({expr})"
+    return (
+        f"(regexp_matches({expr}, '^\\p{{Lu}}') OR ({low} NOT IN ({inlist(NON_NOUN_LEXICON)})"
+        f" AND NOT ({low} LIKE '%ly' AND length({expr}) > 4"
+        f" AND {low} NOT IN ({inlist(LY_NOUNS)}))"
+        f" AND NOT ({low} LIKE '%ing' AND length({expr}) > 5"
+        f" AND {low} NOT IN ({inlist(ING_NOUNS)}))"
+        f" AND NOT ({low} LIKE '%ed' AND length({expr}) > 4"
+        f" AND {low} NOT IN ({inlist(ED_NOUNS)}))))"
+    )
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -498,14 +621,15 @@ def keywords_cleaned_topk(docs: DataFrame, k: int = 10,
                           id_col: str = "doc_id", text_col: str = "text",
                           stopwords: tuple[str, ...] = STOPWORDS_MINI
                           ) -> DataFrame:
-    """N3 with the reference's cleaning cascade: tokens → cleanKeyword →
-    dedupe on the normalized cleaned form (keywordSeen,
-    keywordParser.js:33-46) → TF top-k (count desc, keyword asc)."""
+    """N3 with the reference's cleaning cascade: tokens → POS noun gate
+    (retext-pos stand-in) → cleanKeyword → dedupe on the normalized
+    cleaned form (keywordSeen, keywordParser.js:33-46) → TF top-k
+    (count desc, keyword asc)."""
     from pyspark.sql.window import Window
 
     toks = docs.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("_raw")
-    )
+    ).filter(pos_noun_gate_col(F.col("_raw")))
     cleaned = toks.select(
         F.col(id_col), clean_keyword_col(F.col("_raw"), stopwords).alias("_kw")
     ).filter(F.col("_kw").isNotNull())
@@ -527,13 +651,19 @@ def keywords_cleaned_topk(docs: DataFrame, k: int = 10,
 def keywords_topk(docs: DataFrame, k: int = 10, id_col: str = "doc_id",
                   text_col: str = "text",
                   stopwords: tuple[str, ...] = STOPWORDS_MINI) -> DataFrame:
-    """A9/N3: term-frequency top-k per document, stopword-filtered,
-    deterministic (count desc, term asc) tie-break. One shuffle on
-    (doc, term), one window on doc — both key-spread."""
+    """A9/N3: term-frequency top-k per document, stopword- and
+    POS-filtered (only noun-ish terms rank, mirroring retext-keywords'
+    noun gate — keywordParser.js:10-28), deterministic (count desc,
+    term asc) tie-break. One shuffle on (doc, term), one window on
+    doc — both key-spread."""
     from pyspark.sql.window import Window
 
     toks = docs.select(id_col, F.explode(tokens_col(text_col)).alias("term"))
-    toks = toks.filter(~F.col("term").isin(*stopwords) & (F.length("term") > 1))
+    toks = toks.filter(
+        ~F.col("term").isin(*stopwords)
+        & (F.length("term") > 1)
+        & pos_noun_gate_col(F.col("term"))
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
     return (
@@ -576,6 +706,10 @@ def keyphrases_topk(docs: DataFrame, k: int = 10, n: int = 2,
     grams = grams.filter(
         ~first.isin(*stopwords) & ~last.isin(*stopwords)
         & (F.length("phrase") > 3)
+        # noun-phrase gate: every word noun-ish-or-adjective (the gate
+        # passes adjectives, so "economic growth" survives while
+        # "running quickly" does not)
+        & F.forall(F.split(F.col("phrase"), " "), pos_noun_gate_col)
     )
     tf = grams.groupBy(id_col, "phrase").agg(F.count("*").alias("tf"))
     w_max = Window.partitionBy(id_col)

@@ -14,20 +14,26 @@ Behavior-parity reimplementation of the reference's spellCheck
   trailing 's' stripped) appear in the known-entity word set are
   dropped — a second left-anti join (index.js:1505-1521)
 
-Positions are (line, word_idx) — line numbers match the reference
-(line-break-preserving pre-pass, spellCheck.js:12); the column is the
-token ordinal rather than a character offset (documented deviation:
-char columns need a per-token running sum that buys no verification
-power here).
+Positions match the reference's retext message shape
+(spellCheck.js:29-47): `line` (1-based), `col_char` (1-based char
+column of the word-node start — after stripped leading punctuation,
+like the nlcst WordNode), `offset_start`/`offset_end` (0-based char
+offsets into the whole masked text; end − start = word length). The
+reference names them column/offsetStart/offsetEnd; snake_case here so
+the oracle SQL needs no quoting. `word_idx` (token ordinal in line) is
+kept as the join key for suggestions.
 
-Scale shape: tokens explode on (doc, line); dictionary and entity
-tables broadcast (≪10 MB); one shuffle only if the caller aggregates.
+Scale shape: tokens explode on (doc, line); char positions are two
+window running-sums sharing ONE doc-keyed exchange (requested only
+with positions=True — dictionary builds keep the shuffle-free path);
+dictionary and entity tables broadcast (≪10 MB).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 
 # urlSanitizer families (/root/reference/controllers/urlSanitizer.js:4-83)
 _URL_RES = [
@@ -58,25 +64,67 @@ def normalize_entity_col(s: Column) -> Column:
 
 
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text", positions: bool = False) -> DataFrame:
     """(doc, line, word_idx, word) after the reference pre-pass; words
     are stripped of edge punctuation and lowercased for dictionary
-    probing (original kept as `word`)."""
+    probing (original kept as `word`).
+
+    With positions=True also emits `col_char` / `offset_start` /
+    `offset_end` (spellCheck.js:29-47 shape). Both are running
+    length-sums over the RAW token sequence — every separator (space
+    inside a line, the line break between lines) is exactly one char
+    after the masking pre-pass, so one doc-ordered window gives the
+    global offset and a (doc, line) window (satisfied by the same
+    exchange) gives the in-line column."""
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(mask_urls_col(text_col), "\n")).alias("_ln", "_line"),
     )
+    arr = F.split(F.col("_line"), " ")
+    if not positions:
+        toks = lines.select(
+            F.col(id_col),
+            (F.col("_ln") + 1).alias("line"),
+            F.posexplode(F.filter(arr, lambda w: w != "")).alias("word_idx", "_raw"),
+        )
+        word = F.regexp_replace(F.col("_raw"), r"^[^A-Za-z]+|[^A-Za-z]+$", "")
+        return toks.select(
+            F.col(id_col), "line", "word_idx",
+            word.alias("word"), F.lower(word).alias("word_lc"),
+        ).filter(F.col("word") != "")
+    # positions path: explode UNFILTERED so empty tokens (a collapsed
+    # leading/trailing space) still advance the char counters; the
+    # filtered token ordinal is _rp minus the leading-empty marker
+    # (interior empties are impossible after the space collapse).
     toks = lines.select(
         F.col(id_col),
         (F.col("_ln") + 1).alias("line"),
-        F.posexplode(
-            F.filter(F.split(F.col("_line"), " "), lambda w: w != "")
-        ).alias("word_idx", "_raw"),
+        F.when(F.try_element_at(arr, F.lit(1)) == "", F.lit(1))
+        .otherwise(F.lit(0)).alias("_lead"),
+        F.posexplode(arr).alias("_rp", "_raw"),
     )
+    wdoc = (
+        Window.partitionBy(id_col)
+        .orderBy("line", "_rp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = toks.withColumn(
+        "_off_raw",
+        F.coalesce(F.sum(F.length("_raw") + 1).over(wdoc), F.lit(0).cast("long")),
+    )
+    wline = Window.partitionBy(id_col, "line").orderBy("_rp")
+    toks = toks.withColumn(
+        "_col_raw", F.col("_off_raw") - F.first("_off_raw").over(wline) + 1
+    ).filter(F.col("_raw") != "")
+    strip_lead = F.length(F.regexp_extract("_raw", r"^[^A-Za-z]+", 0))
     word = F.regexp_replace(F.col("_raw"), r"^[^A-Za-z]+|[^A-Za-z]+$", "")
     return toks.select(
-        F.col(id_col), "line", "word_idx",
+        F.col(id_col), "line",
+        (F.col("_rp") - F.col("_lead")).alias("word_idx"),
         word.alias("word"), F.lower(word).alias("word_lc"),
+        (F.col("_col_raw") + strip_lead).cast("int").alias("col_char"),
+        (F.col("_off_raw") + strip_lead).alias("offset_start"),
+        (F.col("_off_raw") + strip_lead + F.length(word)).alias("offset_end"),
     ).filter(F.col("word") != "")
 
 
@@ -86,13 +134,14 @@ def misspellings(
     entities: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> DataFrame:
-    """N4 + J3: (doc, line, word_idx, word) not in `dictionary(word)`,
-    minus words whose normalized/depluralized form is a known entity
-    token in `entities(entity)` (per-corpus table; the reference's
-    per-article Set becomes a join keyed by doc when entities carry
-    `id_col`)."""
-    toks = doc_tokens(docs, id_col, text_col)
+    """N4 + J3: (doc, line, word_idx, word[, char positions]) not in
+    `dictionary(word)`, minus words whose normalized/depluralized form
+    is a known entity token in `entities(entity)` (per-corpus table;
+    the reference's per-article Set becomes a join keyed by doc when
+    entities carry `id_col`)."""
+    toks = doc_tokens(docs, id_col, text_col, positions=positions)
     dict_lc = F.broadcast(
         dictionary.select(F.lower("word").alias("word_lc")).distinct()
     )
@@ -127,7 +176,10 @@ def misspellings(
             missed["word_lc"] == ent_tokens["word_key"],
             "left_anti",
         )
-    return missed.select(id_col, "line", "word_idx", "word")
+    cols = [id_col, "line", "word_idx", "word"]
+    if positions:
+        cols += ["col_char", "offset_start", "offset_end"]
+    return missed.select(*cols)
 
 
 # ------------------------------------------------------- N4 suggestions

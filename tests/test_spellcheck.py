@@ -87,3 +87,51 @@ def test_suggestions_distance1_sorted_capped(spark):
     # alphabetical capped at 3: sea,sta? 'sta' not in dict. => sea,star,stay? ta sorts last
     assert rows["sta"] == "sea,star,stay"
     assert rows["qqqqzz"] == ""
+
+
+def test_char_positions_multiline(spark):
+    """spellCheck.js:29-47 position shape: col_char is the 1-based char
+    column of the word node (after stripped leading punctuation);
+    offset_start/offset_end are 0-based offsets into the whole masked
+    text. Verified against a Python replay of the masked input."""
+    from horseman_article_parser_spark.operators.spellcheck import doc_tokens
+
+    text = "alpha beta\n gamma (delta) epsilon\nzeta"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = {
+        r.word: r
+        for r in doc_tokens(docs, positions=True).collect()
+    }
+    # python replay over the masked text (no URLs here, mask is identity)
+    assert rows["alpha"].col_char == 1 and rows["alpha"].offset_start == 0
+    assert rows["alpha"].offset_end == 5
+    assert rows["beta"].col_char == 7 and rows["beta"].offset_start == 6
+    # line 2 starts at offset 11; leading space -> gamma at column 2
+    assert rows["gamma"].line == 2
+    assert rows["gamma"].col_char == 2 and rows["gamma"].offset_start == 12
+    assert rows["gamma"].word_idx == 0  # leading empty token not counted
+    # "(delta)": word node starts after the stripped "(" -> column 9
+    assert rows["delta"].col_char == 9 and rows["delta"].offset_start == 19
+    assert rows["delta"].offset_end == 24  # 'delta' is 5 chars
+    # line 2 = " gamma (delta) epsilon": cols 1=' ', 2-6 gamma, 7=' ',
+    # 8='(', 9-13 delta, 14=')', 15=' ', 16 starts epsilon
+    assert rows["epsilon"].col_char == 16 and rows["epsilon"].offset_start == 26
+    assert rows["zeta"].line == 3 and rows["zeta"].col_char == 1
+    assert rows["zeta"].offset_start == len("alpha beta\n gamma (delta) epsilon\n")
+
+
+def test_char_positions_skip_masked_urls(spark):
+    """URL-masked spans keep their width as spaces collapse, so the
+    positions of following words reflect the masked layout."""
+    from horseman_article_parser_spark.operators.spellcheck import (
+        doc_tokens,
+        mask_urls_col,
+    )
+    import pyspark.sql.functions as F
+
+    text = "see https://x.example/page now"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    masked = docs.select(mask_urls_col("text").alias("m")).first().m
+    rows = {r.word: r for r in doc_tokens(docs, positions=True).collect()}
+    assert rows["now"].offset_start == masked.index("now")
+    assert rows["see"].offset_start == 0

@@ -11,7 +11,7 @@ def test_keyphrases_short_docs_do_not_crash(spark):
     # (Spark defaults step to -1), crashing slice() under ANSI mode;
     # they must instead yield zero phrases, matching the oracle.
     docs = spark.createDataFrame(
-        [(1, "solo"), (2, ""), (3, "exactly two"), (4, "three word doc")],
+        [(1, "solo"), (2, ""), (3, "budget report"), (4, "three word doc")],
         ["doc_id", "text"],
     )
     rows = keyphrases_topk(docs, k=5, n=2).collect()
@@ -19,8 +19,54 @@ def test_keyphrases_short_docs_do_not_crash(spark):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r["phrase"])
     assert 1 not in by_doc and 2 not in by_doc
-    assert by_doc.get(3) == ["exactly two"]
+    assert by_doc.get(3) == ["budget report"]
     assert set(by_doc.get(4, [])) == {"three word", "word doc"}
+
+
+def test_keywords_pos_gate_drops_verbs_and_adverbs(spark):
+    """N3 POS gate (keywordParser.js:10-28 retext-pos noun filter):
+    'running quickly' must stop ranking; nouns and proper nouns rank."""
+    from horseman_article_parser_spark.functions.textstats import (
+        keywords_cleaned_topk,
+    )
+
+    text = ("the runner was running quickly past the tower while the "
+            "tower meeting heard Paris said nothing about the tower")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    terms = {r["term"] for r in keywords_topk(docs, k=10).collect()}
+    assert "tower" in terms and "runner" in terms and "meeting" in terms
+    assert "Paris" in terms  # proper-noun bypass
+    assert "running" not in terms and "quickly" not in terms
+    assert "was" not in terms and "said" not in terms and "heard" not in terms
+
+    cleaned = {r["keyword"] for r in keywords_cleaned_topk(docs, k=10).collect()}
+    assert "Tower" in cleaned and "Running" not in cleaned
+
+
+def test_keyphrases_pos_gate_keeps_adjective_noun(spark):
+    """Noun-phrase gate passes adjectives ('economic growth') but not
+    verb/adverb spans ('running quickly')."""
+    text = ("economic growth economic growth running quickly "
+            "budget meeting budget meeting")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    phrases = {r["phrase"] for r in keyphrases_topk(docs, k=10, n=2).collect()}
+    assert "economic growth" in phrases and "budget meeting" in phrases
+    assert "running quickly" not in phrases
+
+
+def test_keywords_acronym_retention(spark):
+    """keywordParser.test.js:23-38: WWF / G7 acronyms survive, long
+    shouty ECONOMIE is rejected (cleanKeyword all-caps > 4 rule)."""
+    from horseman_article_parser_spark.functions.textstats import (
+        keywords_cleaned_topk,
+    )
+
+    text = ("WWF rapport pollution G7 Paris climat "
+            "ECONOMIE ECONOMIE ECONOMIE mesures concretes")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    kws = {r["keyword"] for r in keywords_cleaned_topk(docs, k=10).collect()}
+    assert "WWF" in kws and "G7" in kws
+    assert "ECONOMIE" not in kws
 
 
 def test_keywords_topk_deterministic_ties(spark):
