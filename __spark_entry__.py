@@ -214,34 +214,50 @@ def q_frontier_slice(spark, sf_dir):
     return FO.slice_frontier(fr, start=20, limit=30).select("url", "seq")
 
 
-def q_url_skip_filter(spark, sf_dir):
-    urls = _messy_urls(_prep(spark), sf_dir)
-    return urls.select(
-        "doc_id", "url", skip_col(F.col("url")).alias("skipped")
+def q_url_filters(spark, sf_dir):
+    """F3 skipUrl + F4 keepLikelyArticles as one per-URL predicate
+    surface: kind='skip' rows carry the extension/scheme skip verdict
+    over the messy-URL table, kind='likely' rows the article-path
+    heuristic over the path-shape table."""
+    spark = _prep(spark)
+    skip = _messy_urls(spark, sf_dir).select(
+        F.lit("skip").alias("kind"), "doc_id", "url",
+        skip_col(F.col("url")).alias("flag"),
+    )
+    likely = _path_urls(spark, sf_dir).select(
+        F.lit("likely").alias("kind"), "doc_id", "url",
+        keep_likely_article_col(F.col("url")).alias("flag"),
+    )
+    return skip.unionByName(likely)
+
+
+def q_url_transforms(spark, sf_dir):
+    """F5 canonicalize + F6 prefix rewrites + S7 AMP static candidates
+    as one per-URL transform surface over the synthesized frontier:
+    `canonical` normalizes a deliberately-messy raw form, `rewritten`
+    applies the first-match rewrite rules, `amp_1`/`amp_2` are the
+    first two AMP variants of the canonical URL."""
+    from horseman_article_parser_spark.functions.urls import (
+        apply_url_rewrites_col,
     )
 
-
-def q_url_likely_articles(spark, sf_dir):
-    urls = _path_urls(_prep(spark), sf_dir)
-    return urls.filter(keep_likely_article_col(F.col("url"))).select("doc_id", "url")
-
-
-def q_url_canonicalize(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
+    fr = _frontier(_prep(spark), sf_dir)
     raw = F.concat(
-        F.lit("HTTPS://H"), (F.col("doc_id") % 20).cast("string"),
-        F.lit(".Example.COM:443/Path/"), F.col("doc_id").cast("string"),
+        F.lit("HTTPS://H"), (F.col("seq") % 20).cast("string"),
+        F.lit(".Example.COM:443/Path/"), F.col("seq").cast("string"),
         F.lit("?q=1#frag"),
     )
-    return docs.select(
-        "doc_id", canonicalize_url_udf(raw).alias("canonical")
-    )
-
-
-def q_amp_candidates(spark, sf_dir):
-    fr = _frontier(_prep(spark), sf_dir).filter(F.col("seq") < 50)
+    rules = [
+        ("https://src0.example.com/", "https://mirror0.example.net/"),
+        ("https://src1.example.com/en/", "https://src1.example.com/english/"),
+    ]
+    amp = amp_candidates_udf(F.col("url"))
     return fr.select(
-        "seq", F.posexplode(amp_candidates_udf(F.col("url"))).alias("variant", "candidate")
+        "seq", "url",
+        canonicalize_url_udf(raw).alias("canonical"),
+        apply_url_rewrites_col("url", rules).alias("rewritten"),
+        F.element_at(amp, 1).alias("amp_1"),
+        F.element_at(amp, 2).alias("amp_2"),
     )
 
 
@@ -339,6 +355,12 @@ def _synth_pages(spark, sf_dir):
         F.lit("</td></tr><tr><td>bucket</td><td>b"),
         (F.col("doc_id") % 5).cast("string"), F.lit("</td></tr></table>"),
     )
+    dl_html = F.concat(
+        F.lit("<dl><dt>Lang</dt><dd>"), F.col("lang"),
+        F.lit("</dd><dd>doc "), d,
+        F.lit("</dd><dt>Bucket</dt><dd>b"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("</dd></dl>"),
+    )
     html = F.concat(
         F.lit("<html><head><title>Doc "), d, F.lit(" | ExampleSite</title>"),
         F.lit('<meta name="description" content="'), F.col("lang"), F.lit(' article">'),
@@ -346,7 +368,7 @@ def _synth_pages(spark, sf_dir):
         F.lit("</head><body><article><h1>Heading</h1><p>"), F.col("text"),
         F.lit('</p><a href="/next/'), (F.col("doc_id") + 1).cast("string"),
         F.lit('">next</a><a href="https://ext.com/e'), d, F.lit('">ext</a>'),
-        img_html, table_html, F.lit("</article></body></html>"),
+        img_html, table_html, dl_html, F.lit("</article></body></html>"),
     )
     pages = docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id").select(
         "doc_id", "url", html.alias("html")
@@ -358,9 +380,32 @@ def _synth_pages(spark, sf_dir):
 
 
 def q_extract_title(spark, sf_dir):
+    """X17 title extraction + X7 suffix strip (one row per doc): the
+    page title comes from the synthesized DOM; `title_stripped` applies
+    both reference suffix patterns (' | Site', ' - Paper') to a
+    by-construction two-pattern variant string."""
+    from horseman_article_parser_spark.operators.extract import (
+        _TITLE_SUFFIX_1,
+        _TITLE_SUFFIX_2,
+    )
+
     arts = _synth_pages(_prep(spark), sf_dir)
+    d = F.col("doc_id").cast("string")
+    raw2 = F.concat(
+        F.lit("Doc "), d,
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" | Example Site"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" - The Paper"))
+        .otherwise(F.lit("")),
+    )
+    stripped2 = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw2, _TITLE_SUFFIX_1.pattern, ""),
+            _TITLE_SUFFIX_2.pattern, "",
+        )
+    )
     return arts.select("doc_id", F.col("article.title").alias("title"),
-                       F.col("article.doc_title").alias("doc_title"))
+                       F.col("article.doc_title").alias("doc_title"),
+                       stripped2.alias("title_stripped"))
 
 
 def q_extract_links(spark, sf_dir):
@@ -413,45 +458,20 @@ def q_extract_jsonld(spark, sf_dir):
     )
 
 
-def q_extract_definitions(spark, sf_dir):
-    """X15 definition-list parse (structuredData.js:132-159): dt opens
-    an item, dd appends, dd-before-dt lands in a null-term item; exact
-    oracle by construction."""
-    spark = _prep(spark)
-    docs = _load(spark, sf_dir, "documents")
-    d = F.col("doc_id").cast("string")
-    html = F.concat(
-        F.lit("<html><body><article><dl><dt>Lang</dt><dd>"), F.col("lang"),
-        F.lit("</dd><dd>doc "), d,
-        F.lit("</dd><dt>Bucket</dt><dd>b"), (F.col("doc_id") % 5).cast("string"),
-        F.lit("</dd></dl></article></body></html>"),
-    )
-    pages = docs.select(
-        "doc_id", F.lit("https://x.example/a").alias("url"), html.alias("html")
-    )
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
-    from horseman_article_parser_spark.operators.extract import extract_articles
-
-    arts = extract_articles(pages)
-    first = F.element_at(F.element_at("article.definitions", 1)["items"], 1)
-    second = F.element_at(F.element_at("article.definitions", 1)["items"], 2)
-    return arts.select(
-        "doc_id",
-        F.size(F.element_at("article.definitions", 1)["items"]).alias("n_items"),
-        first["term"].alias("term1"),
-        F.array_join(first["descriptions"], "|").alias("descs1"),
-        second["term"].alias("term2"),
-        F.array_join(second["descriptions"], "|").alias("descs2"),
-    )
-
-
 def q_extract_meta(spark, sf_dir):
-    arts = _synth_pages(_prep(spark), sf_dir)
+    """X12 meta extraction + X8 excerpt (folded: both are per-doc
+    derivations of the page head/body; excerpt runs over the document
+    text joined back by id)."""
+    spark = _prep(spark)
+    arts = _synth_pages(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", TS.excerpt_col("text").alias("excerpt")
+    )
     return arts.select(
         "doc_id",
         F.size("article.meta").alias("n_meta"),
         F.col("article.description").alias("description"),
-    )
+    ).join(docs, "doc_id")
 
 
 def q_extract_images(spark, sf_dir):
@@ -507,24 +527,35 @@ def _synth_feeds(spark, sf_dir, sitemap: bool):
     return per_feed.select(F.col("source").alias("feed_url"), xml.alias("xml"))
 
 
-def q_rss_extract(spark, sf_dir):
+def q_feeds_extract(spark, sf_dir):
+    """S3 RSS + S4 sitemap link extraction in one union surface (both
+    the guid-replaces-channel-link rule and the <loc> path are
+    oracle-checked; kind marks the source format)."""
     from horseman_article_parser_spark.sources.feeds import extract_feed_links
 
-    feeds = _synth_feeds(_prep(spark), sf_dir, sitemap=False)
-    return extract_feed_links(feeds).select("feed_url", "pos", "url")
+    spark = _prep(spark)
+    rss = extract_feed_links(_synth_feeds(spark, sf_dir, sitemap=False)).select(
+        F.lit("rss").alias("kind"), "feed_url", "pos", "url"
+    )
+    sm = extract_feed_links(_synth_feeds(spark, sf_dir, sitemap=True)).select(
+        F.lit("sitemap").alias("kind"), "feed_url", "pos", "url"
+    )
+    return rss.unionByName(sm)
 
 
-def q_sitemap_extract(spark, sf_dir):
-    from horseman_article_parser_spark.sources.feeds import extract_feed_links
-
-    feeds = _synth_feeds(_prep(spark), sf_dir, sitemap=True)
-    return extract_feed_links(feeds).select("feed_url", "pos", "url")
-
-
-def q_extract_tables(spark, sf_dir):
+def q_extract_structured(spark, sf_dir):
+    """X14 tables + X15 definition lists + X16 figures in one wide row
+    per page (structuredData.js:132-258) — all three parses run over
+    the SAME synthesized article DOM, so the whole structured-data
+    surface is one oracle-checked scan."""
     arts = _synth_pages(_prep(spark), sf_dir)
     t1 = F.try_element_at(F.col("article.tables"), F.lit(1))
     r2 = F.try_element_at(t1["rows"], F.lit(2))
+    f1 = F.try_element_at(F.col("article.figures"), F.lit(1))
+    i1 = F.try_element_at(f1["images"], F.lit(1))
+    d1 = F.try_element_at(F.col("article.definitions"), F.lit(1))
+    item1 = F.try_element_at(d1["items"], F.lit(1))
+    item2 = F.try_element_at(d1["items"], F.lit(2))
     return arts.select(
         "doc_id",
         F.size("article.tables").alias("n_tables"),
@@ -533,66 +564,40 @@ def q_extract_tables(spark, sf_dir):
         t1["columnCount"].alias("col_count"),
         F.array_join(r2["cells"], "|").alias("row2_cells"),
         F.try_element_at(r2["object"], F.lit("Value")).alias("row2_value"),
-    )
-
-
-def q_extract_figures(spark, sf_dir):
-    arts = _synth_pages(_prep(spark), sf_dir)
-    f1 = F.try_element_at(F.col("article.figures"), F.lit(1))
-    i1 = F.try_element_at(f1["images"], F.lit(1))
-    return arts.select(
-        "doc_id",
         F.size("article.figures").alias("n_figures"),
-        f1["caption"].alias("caption"),
-        i1["src"].alias("src"),
-        i1["alt"].alias("alt"),
+        f1["caption"].alias("fig_caption"),
+        i1["src"].alias("fig_src"),
+        i1["alt"].alias("fig_alt"),
+        F.size(d1["items"]).alias("n_items"),
+        item1["term"].alias("term1"),
+        F.array_join(item1["descriptions"], "|").alias("descs1"),
+        item2["term"].alias("term2"),
+        F.array_join(item2["descriptions"], "|").alias("descs2"),
     )
-
-
-def q_title_suffix_strip(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
-    d = F.col("doc_id").cast("string")
-    raw = F.concat(
-        F.lit("Doc "), d,
-        F.when(F.col("doc_id") % 3 == 0, F.lit(" | Example Site"))
-        .when(F.col("doc_id") % 3 == 1, F.lit(" - The Paper"))
-        .otherwise(F.lit("")),
-    )
-    from horseman_article_parser_spark.operators.extract import (
-        _TITLE_SUFFIX_1,
-        _TITLE_SUFFIX_2,
-    )
-    stripped = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(raw, _TITLE_SUFFIX_1.pattern, ""),
-            _TITLE_SUFFIX_2.pattern, "",
-        )
-    )
-    return docs.select("doc_id", stripped.alias("title"))
 
 
 # -- text analytics ----------------------------------------------------------
 
 
-def q_readability(spark, sf_dir):
+def q_text_quality(spark, sf_dir):
+    """A4/A5/N7 readability + token counting + quality scoring + bag
+    fingerprint in one per-doc wide row (all pure Column algebra over
+    `documents`; one scan, zero shuffles). Folds the former
+    readability / token_count / quality_score / bag_fingerprint
+    queries so each SURVEY ID keeps a driver-checked oracle inside the
+    correctness window."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    cols = TS.readability_cols(F.col("text"))
-    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
-
-
-def q_token_count(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
+    rcols = TS.readability_cols(F.col("text"))
+    qcols = TS.quality_cols(F.col("text"))
     return docs.select(
         "doc_id",
-        TS.token_count_col("text").cast("long").alias("n_tokens"),
+        *[c.alias(n) for n, c in rcols.items()],
         TS.occurrences_col("text", "the").alias("n_the"),
+        qcols["stopword_hits"].alias("stopword_hits"),
+        qcols["alpha_ratio_x1e4"].alias("alpha_ratio_x1e4"),
+        qcols["quality_score"].alias("quality_score"),
+        TS.bag_fingerprint_col("text").alias("bag_fp"),
     )
-
-
-def q_quality_score(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
-    cols = TS.quality_cols(F.col("text"))
-    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 # Per-language sample sentences for the langid oracle (doc_id % 12
@@ -650,19 +655,17 @@ def q_langid(spark, sf_dir):
 
 
 def q_sentiment(spark, sf_dir):
+    """A10 sentiment: the inline occurrence-algebra path (score, scaled
+    comparative, reference label quirk) PLUS the explode→broadcast-join
+    aggregation path's score as `score_join` — both implementations
+    driver-checked in one row, and their agreement is itself pinned."""
     docs = _load(_prep(spark), sf_dir, "documents")
     cols = TS.sentiment_cols(F.col("text"))
-    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
-
-
-def q_sentiment_join(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
-    return TS.sentiment_via_join(docs)
-
-
-def q_excerpt(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
-    return docs.select("doc_id", TS.excerpt_col("text").alias("excerpt"))
+    inline = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    joined = TS.sentiment_via_join(docs).select(
+        "doc_id", F.col("sentiment_score").alias("score_join")
+    )
+    return inline.join(joined, "doc_id")
 
 
 def q_string_helpers(spark, sf_dir):
@@ -679,6 +682,8 @@ def q_string_helpers(spark, sf_dir):
         "doc_id",
         TS.strip_punctuation_col(raw).alias("stripped"),
         TS.title_case_col(raw).alias("titled"),
+        # X1 normalization folded in (formerly normalize_entity)
+        TS.normalize_text_col(raw).alias("normalized"),
     )
 
 
@@ -700,20 +705,21 @@ def q_keywords_cleaned(spark, sf_dir):
 
 
 def q_keywords_topk(spark, sf_dir):
+    """N3/A9 keywords + keyphrases in one union surface: kind='term'
+    rows are the POS-gated TF top-10 unigrams, kind='phrase' rows the
+    noun-phrase bigram top-8 with the reference's normalized weight
+    scaled to bigint (floats never reach the driver hash)."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    return TS.keywords_topk(docs, k=10)
-
-
-def q_keyphrases_topk(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
-    return TS.keyphrases_topk(docs, k=8)
-
-
-def q_normalize_entity(spark, sf_dir):
-    part = _load(_prep(spark), sf_dir, "part")
-    return part.select(
-        "p_partkey", TS.normalize_text_col("p_name").alias("normalized")
+    kws = TS.keywords_topk(docs, k=10).select(
+        "doc_id", F.lit("term").alias("kind"), F.col("term").alias("gram"),
+        "tf", "rank", F.lit(None).cast("long").alias("score_x1e9"),
     )
+    phr = TS.keyphrases_topk(docs, k=8).select(
+        "doc_id", F.lit("phrase").alias("kind"), F.col("phrase").alias("gram"),
+        "tf", "rank",
+        F.round(F.col("score") * 1_000_000_000).cast("long").alias("score_x1e9"),
+    )
+    return kws.unionByName(phr)
 
 
 # -- dedup -------------------------------------------------------------------
@@ -724,23 +730,17 @@ def q_dedup_exact(spark, sf_dir):
     return DD.exact_dup_groups(docs)
 
 
-def q_bag_fingerprint(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
-    return docs.select("doc_id", TS.bag_fingerprint_col("text").alias("bag_fp"))
-
-
 N_MINHASH = 8
 
 
-def q_minhash_signatures(spark, sf_dir):
-    docs = _load(_prep(spark), sf_dir, "documents")
-    return DD.minhash_signatures(docs, n_hashes=N_MINHASH)
-
-
-def q_lsh_buckets(spark, sf_dir):
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash signatures + LSH band buckets in one surface (the bucket
+    rows carry the per-doc signature columns, so both stages of the
+    near-dup pipeline are oracle-checked by one query)."""
     docs = _load(_prep(spark), sf_dir, "documents")
     sigs = DD.minhash_signatures(docs, n_hashes=N_MINHASH)
-    return DD.lsh_band_buckets(sigs, bands=4, rows_per_band=2)
+    buckets = DD.lsh_band_buckets(sigs, bands=4, rows_per_band=2)
+    return buckets.join(sigs, "doc_id")
 
 
 SIMHASH_BITS = 16
@@ -770,14 +770,23 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-k baseline + L2 norms (folded: `norm_x1e6` is
+    the neighbor's vector norm, joined back by id — the same quantity
+    the former embedding_norms query pinned for every vector)."""
     emb = _load(_prep(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
+    norms = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(SIM.l2_norm_col(F.col("embedding")) * 1_000_000)
+        .cast("long").alias("norm_x1e6"),
+    )
     out = SIM.cosine_topk(emb, queries, k=10)
-    return out.select(
+    return out.join(F.broadcast(norms), "neighbor_id").select(
         "query_id", "neighbor_id", "rank",
         F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_x1e6"),
+        "norm_x1e6",
     )
 
 
@@ -792,14 +801,6 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select(
         "id_a", "id_b",
         F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_x1e6"),
-    )
-
-
-def q_embedding_norms(spark, sf_dir):
-    emb = _load(_prep(spark), sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        F.round(SIM.l2_norm_col(F.col("embedding")) * 1_000_000).cast("long").alias("norm_x1e6"),
     )
 
 
@@ -835,6 +836,49 @@ def q_ivf_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank",
         F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_x1e6"),
+    )
+
+
+IVF_TRAIN_CENTS = 8
+IVF_TRAIN_ITERS = 2
+IVF_TRAIN_SEED_MOD = 97
+IVF_TRAIN_K = 10
+IVF_TRAIN_PROBE = 3
+
+
+def q_ivf_trained_recall(spark, sf_dir):
+    """IVF with TRAINED centroids end-to-end: deterministic Lloyd's
+    k-means (exact integer-sum means, so the DuckDB twin reproduces the
+    trained centroids bit-for-bit) → n_probe routing → in-list exact
+    rerank, then per-query recall vs the brute-force exact top-k. The
+    oracle unrolls the same two k-means iterations in SQL, so the
+    TRAINED path — not just the routing — is driver-checked; recall_ok
+    pins the quality floor."""
+    spark = _prep(spark)
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(
+        emb, n_centroids=IVF_TRAIN_CENTS, n_iters=IVF_TRAIN_ITERS,
+        seed_mod=IVF_TRAIN_SEED_MOD, exact_means=True,
+    )
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    ivf = SIM.ivf_topk(emb, queries, cents, k=IVF_TRAIN_K,
+                       n_probe=IVF_TRAIN_PROBE)
+    brute = SIM.cosine_topk(emb, queries, k=IVF_TRAIN_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ivf.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) * 100 / IVF_TRAIN_K)
+        .cast("long").alias("recall_x100"),
+        (F.coalesce("n_hits", F.lit(0)) >= IVF_TRAIN_K // 2).alias("recall_ok"),
     )
 
 
@@ -884,14 +928,26 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_retry_backoff(spark, sf_dir):
-    """T5: linear backoff 1000·attempt ms re-queue schedule for failures
-    (/root/reference/scripts/batch-crawl.js:146-147)."""
+    """T5 linear backoff 1000·attempt ms re-queue schedule for failures
+    (/root/reference/scripts/batch-crawl.js:146-147) + X22 error-family
+    classification of each failure's synthesized message (folded: both
+    operate on the same error events)."""
+    from horseman_article_parser_spark.functions.urls import classify_error_col
+
     ev = _load(_prep(spark), sf_dir, "events").filter(F.col("event_type") == "error")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     out = ev.withColumn("attempt", F.row_number().over(w))
+    msg = (
+        F.when(F.col("event_id") % 5 == 0, F.lit("Navigation Timeout exceeded"))
+        .when(F.col("event_id") % 5 == 1, F.lit("HTTP 403 Forbidden"))
+        .when(F.col("event_id") % 5 == 2, F.lit("GDPR consent wall detected"))
+        .when(F.col("event_id") % 5 == 3, F.lit("Execution context was destroyed"))
+        .otherwise(F.lit("boom"))
+    )
     return out.select(
         "event_id", "user_id", "attempt",
         (F.unix_millis(F.col("ts").cast("timestamp")) + F.col("attempt") * 1000).alias("not_before_ms"),
+        classify_error_col(msg).alias("family"),
     )
 
 
@@ -959,13 +1015,18 @@ def q_part_type_stats(spark, sf_dir):
 
 
 def q_spellcheck(spark, sf_dir):
-    """N4 spellcheck anti-join + J3 entity filter. Dictionary = words
+    """N4 spellcheck (anti-join misses, char positions, symspell
+    suggestions) + J3 entity filter, one surface. Dictionary = words
     with corpus frequency >= 0.5 * n_docs (by construction on both
-    engines); appended zzrare* tokens are misspellings; zzentity(+s)
-    tokens are misspellings rescued by the known-entity rule."""
+    engines); appended zzrare* tokens are plain misspellings;
+    zzentity(+s) tokens are rescued by the known-entity rule; 'tabl' /
+    'scann' are one edit from frequent corpus words so the suggestion
+    join must surface the dictionary twins (the oracle verifies with
+    DuckDB's native levenshtein())."""
     from horseman_article_parser_spark.operators.spellcheck import (
         doc_tokens,
         misspellings,
+        suggest_corrections,
     )
 
     spark = _prep(spark)
@@ -981,8 +1042,13 @@ def q_spellcheck(spark, sf_dir):
         .when(F.col("doc_id") % 5 == 1, F.lit(" zzentitys"))
         .otherwise(F.lit(""))
     )
+    typo = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" tabl"))
+        .when(F.col("doc_id") % 7 == 1, F.lit(" scann"))
+        .otherwise(F.lit(""))
+    )
     docs2 = docs.select(
-        "doc_id", F.concat(F.col("text"), rare, ent).alias("text")
+        "doc_id", F.concat(F.col("text"), rare, ent, typo).alias("text")
     )
     total = docs.groupBy().agg(F.count("*").alias("_n"))
     dictionary = (
@@ -994,86 +1060,13 @@ def q_spellcheck(spark, sf_dir):
         .select(F.col("word_lc").alias("word"))
     )
     entities = spark.createDataFrame([("Zzentity",)], "entity string")
-    return misspellings(docs2, dictionary, entities, positions=True).select(
-        "doc_id", "line", "word_idx", "word",
-        "col_char", "offset_start", "offset_end",
-    )
-
-
-def q_spellcheck_suggest(spark, sf_dir):
-    """N4 suggestions (spellCheck.js:29-55 `expected`): dictionary words
-    within Levenshtein distance 1 per misspelling, alphabetical, capped
-    at 5, via the symspell deletes-table broadcast join; the oracle
-    verifies with DuckDB's native levenshtein()."""
-    from horseman_article_parser_spark.operators.spellcheck import (
-        doc_tokens,
-        misspellings,
-        suggest_corrections,
-    )
-
-    spark = _prep(spark)
-    docs = _load(spark, sf_dir, "documents")
-    rare = F.concat(
-        F.lit(" zzrare"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("a"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("b"))
-        .otherwise(F.lit("c")),
-    )
-    # misspellings one edit away from frequent corpus words: 'tabl'
-    # (table), 'scann' (scan) — suggestions must surface the dict twins;
-    # injected into 1/5 of docs each so they stay under the dictionary
-    # frequency threshold
-    typo = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(" tabl"))
-        .when(F.col("doc_id") % 5 == 1, F.lit(" scann"))
-        .otherwise(F.lit(""))
-    )
-    docs2 = docs.select(
-        "doc_id", F.concat(F.col("text"), rare, typo).alias("text")
-    )
-    total = docs.groupBy().agg(F.count("*").alias("_n"))
-    dictionary = (
-        doc_tokens(docs2)
-        .groupBy("word_lc")
-        .agg(F.count("*").alias("_c"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("_c") >= 0.5 * F.col("_n"))
-        .select(F.col("word_lc").alias("word"))
-    )
-    missed = misspellings(docs2, dictionary)
-    return suggest_corrections(missed, dictionary).select(
+    missed = misspellings(docs2, dictionary, entities, positions=True)
+    sugg = suggest_corrections(missed, dictionary).select(
         "doc_id", "line", "word_idx", "word", "suggestions"
     )
-
-
-def q_error_classify(spark, sf_dir):
-    """X22 error classification over synthesized fetch-error messages."""
-    from horseman_article_parser_spark.functions.urls import classify_error_col
-
-    docs = _load(_prep(spark), sf_dir, "documents")
-    msg = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("Navigation Timeout exceeded"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("HTTP 403 Forbidden"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("GDPR consent wall detected"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("Execution context was destroyed"))
-        .otherwise(F.lit("boom"))
-    )
-    return docs.select(
-        "doc_id", msg.alias("msg"), classify_error_col(msg).alias("family")
-    )
-
-
-def q_url_rewrites(spark, sf_dir):
-    """F6 prefix URL rewrites (first matching rule wins)."""
-    from horseman_article_parser_spark.functions.urls import apply_url_rewrites_col
-
-    fr = _frontier(_prep(spark), sf_dir)
-    rules = [
-        ("https://src0.example.com/", "https://mirror0.example.net/"),
-        ("https://src1.example.com/en/", "https://src1.example.com/english/"),
-    ]
-    return fr.select(
-        "seq", "url", apply_url_rewrites_col("url", rules).alias("rewritten")
+    return missed.join(sugg, ["doc_id", "line", "word_idx", "word"]).select(
+        "doc_id", "line", "word_idx", "word",
+        "col_char", "offset_start", "offset_end", "suggestions",
     )
 
 
@@ -1427,10 +1420,15 @@ def q_summary(spark, sf_dir):
 
 
 def q_text_render(spark, sf_dir):
-    """X10 raw/formatted/html text renderings — exact string oracle over
-    by-construction pages (raw drops figures+URLs and joins sentences;
-    formatted uppercases title+headings; html span-wraps lines)."""
-    from horseman_article_parser_spark.operators.textrender import render_texts
+    """X10 raw/formatted/html text renderings + F7 selector strip
+    (folded: both are per-doc DOM→string transforms; `stripped` runs
+    strip_tags over a second by-construction page with promo/aside
+    nodes). Exact string oracles for all four columns."""
+    from horseman_article_parser_spark.operators.textrender import (
+        render_texts,
+        strip_tags,
+    )
+    from pyspark.sql.types import StringType
 
     docs = _load(_prep(spark), sf_dir, "documents")
     d = F.col("doc_id").cast("string")
@@ -1441,29 +1439,7 @@ def q_text_render(spark, sf_dir):
         F.lit("</figcaption></figure><p>Beta body "), d,
         F.lit(" ends.</p></article></body></html>"),
     )
-    pages = docs.select(
-        "doc_id", html.alias("html"),
-        F.concat(F.lit("Story "), d).alias("title"),
-    )
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
-    out = render_texts(pages, title_col="title")
-    return out.select(
-        "doc_id",
-        F.col("texts.raw").alias("raw"),
-        F.col("texts.formatted").alias("formatted"),
-        F.col("texts.html").alias("html_text"),
-    )
-
-
-def q_striptags(spark, sf_dir):
-    """F7 selector strip — exact serialized-DOM oracle."""
-    from horseman_article_parser_spark.operators.textrender import strip_tags
-    from pyspark.sql.types import StringType
-
-    spark = _prep(spark)
-    docs = _load(spark, sf_dir, "documents")
-    d = F.col("doc_id").cast("string")
-    html = F.concat(
+    strip_html = F.concat(
         F.lit('<html><body><div class="promo">AD '), d,
         F.lit('</div><aside>side</aside><p id="keep">Keep '), F.col("text"),
         F.lit("</p></body></html>"),
@@ -1479,9 +1455,19 @@ def q_striptags(spark, sf_dir):
         PandasUDFType.SCALAR,
     )
 
-    pages = docs.select("doc_id", html.alias("html"))
+    pages = docs.select(
+        "doc_id", html.alias("html"), strip_html.alias("strip_html"),
+        F.concat(F.lit("Story "), d).alias("title"),
+    )
     pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
-    return pages.select("doc_id", strip_udf("html").alias("stripped"))
+    out = render_texts(pages, title_col="title")
+    stripped = pages.select("doc_id", strip_udf("strip_html").alias("stripped"))
+    return out.select(
+        "doc_id",
+        F.col("texts.raw").alias("raw"),
+        F.col("texts.formatted").alias("formatted"),
+        F.col("texts.html").alias("html_text"),
+    ).join(stripped, "doc_id")
 
 
 def q_boilerplate_strip(spark, sf_dir):
@@ -1585,20 +1571,40 @@ def q_windowed_metrics(spark, sf_dir):
 
 def q_crawl_two_rounds(spark, sf_dir):
     """Two scheduling rounds of the full crawl loop (synthetic web,
-    bloom seen-filter, politeness, priority waves) — rows-only check;
-    per-round order parity is pytest-verified against the reference
-    simulator (tests/test_crawl.py)."""
+    bloom seen-filter, politeness, priority waves) WITH a live
+    Structured Streaming seed ingest between the rounds: a seed file
+    dropped after round 0 arrives through readStream → foreachBatch →
+    seen-filter claim → pending append (T1/T6), and those URLs must be
+    scheduled in round 1's wave. Rows-only check (stateful multi-round);
+    order parity and streamed-seed scheduling are pytest-verified
+    (tests/test_crawl.py, tests/test_streaming.py)."""
+    import os
+
     from horseman_article_parser_spark.datagen.frontier import build_seed_frontier
     from horseman_article_parser_spark.plans.crawl import CrawlConfig, CrawlScheduler
+    from horseman_article_parser_spark.streaming.frontier_stream import (
+        StreamingSeedIngest,
+    )
 
     spark = _prep(spark)
     store = tempfile.mkdtemp(prefix="crawl_q_")
+    seeds_dir = tempfile.mkdtemp(prefix="crawl_q_seeds_")
+    ckpt_dir = tempfile.mkdtemp(prefix="crawl_q_ckpt_")
     cfg = CrawlConfig(wave_size=30, round0_limit=30, default_host_budget=2,
                       n_shards=8, total_bloom_bits=1 << 20)
     sched = CrawlScheduler(spark, store, cfg)
     seeds = build_seed_frontier(spark, n=120)
     sched.init_from_seeds(seeds)
     sched.run_round(0)
+    # drop streamed seeds mid-run; a live streaming query ingests them
+    with open(os.path.join(seeds_dir, "late-seeds.txt"), "w") as fh:
+        fh.write("\n".join(
+            f"https://streamed.example/late/{i}" for i in range(8)
+        ))
+    ingest = StreamingSeedIngest(sched)
+    sq = ingest.start(seeds_dir, ckpt_dir)
+    sq.processAllAvailable()
+    sq.stop()
     sched.run_round(1)
     w0 = sched.store.read(spark, "waves", 0).select("pos", "url", F.lit(0).alias("round"))
     w1 = sched.store.read(spark, "waves", 1).select("pos", "url", F.lit(1).alias("round"))
@@ -1709,50 +1715,47 @@ def q_image_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that the driver's bounded correctness window (first
-    ~50 rows in CORRECTNESS_r01) covers the maximum number of DISTINCT
-    SURVEY §2 operator IDs: one query per ID first, then overlapping /
-    demo queries, then the rows-only (no-oracle) stateful checks last."""
+    ~50 rows) covers EVERY claimed SURVEY §2 operator ID and every
+    LLM-pipeline op: overlapping demos were folded into their parent
+    queries (extra columns / union surfaces) until the whole distinct
+    surface fits; demo breadth sits below the marker."""
     return {
         # crawl / frontier (SURVEY §2.2, §2.5 W8/W9, §2.3 J1/J2, §2.9 T2/T5)
         "frontier_uniq": q_frontier_uniq,
         "frontier_unique_by_host": q_frontier_unique_by_host,
+        "frontier_wave0": q_frontier_wave0,
         "frontier_slice": q_frontier_slice,
-        "url_skip_filter": q_url_skip_filter,
-        "url_likely_articles": q_url_likely_articles,
-        "url_canonicalize": q_url_canonicalize,
         "seen_antijoin": q_seen_antijoin,
         "round_robin_interleave": q_round_robin_interleave,
         "politeness_budget": q_politeness_budget,
         "robots_filter": q_robots_filter,
         "domain_rules_join": q_domain_rules_join,
+        "url_filters": q_url_filters,
+        "url_transforms": q_url_transforms,
         "retry_backoff": q_retry_backoff,
-        # extraction (SURVEY §2.7 X12/X13/X17, §2.3 J6/J7, §2.5 W7)
-        "rss_extract": q_rss_extract,
-        "sitemap_extract": q_sitemap_extract,
+        # extraction (SURVEY §2.7, §2.3 J6/J7, §2.5 W7, §2.1 S3/S4)
+        "feeds_extract": q_feeds_extract,
         "extract_title": q_extract_title,
         "extract_links": q_extract_links,
         "extract_meta": q_extract_meta,
         "extract_jsonld": q_extract_jsonld,
         "extract_images": q_extract_images,
+        "extract_structured": q_extract_structured,
         "liveblog": q_liveblog,
         # text renderings (F7/F10/X10)
         "text_render": q_text_render,
-        "striptags": q_striptags,
         "boilerplate_strip": q_boilerplate_strip,
-        # text analytics / NLP (A4/A9/A10, X1, N1-N7)
-        "readability": q_readability,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
+        # text analytics / NLP (A4/A5/A9/A10, X1/X3/X5, N1-N7)
+        "text_quality": q_text_quality,
         "langid": q_langid,
         "sentiment": q_sentiment,
         "summary": q_summary,
         "keywords_topk": q_keywords_topk,
         "keywords_cleaned": q_keywords_cleaned,
-        "normalize_entity": q_normalize_entity,
+        "string_helpers": q_string_helpers,
         "spellcheck": q_spellcheck,
-        "spellcheck_suggest": q_spellcheck_suggest,
         "entities": q_entities,
-        # detector / training (A6/A11, W1-W4, X18/X19/X24, S8)
+        # detector / training (A6/A11, W1-W4, X18/X19/X24, S5/S8)
         "content_candidates": q_content_candidates,
         "detect_container": q_detect_container,
         "canonical_refetch": q_canonical_refetch,
@@ -1760,8 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reranker_train": q_reranker_train,
         # dedup (training-pipeline ops)
         "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_buckets": q_lsh_buckets,
+        "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         # similarity search
@@ -1769,36 +1771,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "label_centroids": q_label_centroids,
-        # streaming metrics (A1/A3/T7)
-        "windowed_metrics": q_windowed_metrics,
-        "image_near_dups": q_image_near_dups,
         "ivf_topk": q_ivf_topk,
-        # ---- below this line: IDs already covered above, demo breadth,
-        # ---- and rows-only stateful checks (driver window overflow-safe)
-        "bag_fingerprint": q_bag_fingerprint,
-        "amp_candidates": q_amp_candidates,
-        "extract_tables": q_extract_tables,
-        "string_helpers": q_string_helpers,
-        "extract_definitions": q_extract_definitions,
-        "frontier_wave0": q_frontier_wave0,
-        "extract_figures": q_extract_figures,
-        "title_suffix_strip": q_title_suffix_strip,
-        "sentiment_join": q_sentiment_join,
-        "excerpt": q_excerpt,
-        "keyphrases_topk": q_keyphrases_topk,
-        "error_classify": q_error_classify,
-        "url_rewrites": q_url_rewrites,
-        "embedding_norms": q_embedding_norms,
+        "ivf_trained_recall": q_ivf_trained_recall,
+        # multimodal payload
+        "image_features": q_image_features,
+        "image_near_dups": q_image_near_dups,
+        # streaming metrics + stateful crawl (A1/A3/T7; S6/T6 rows-only)
+        "windowed_metrics": q_windowed_metrics,
+        "crawl_two_rounds": q_crawl_two_rounds,
+        # ---- below this line: demo breadth (every ID above is already
+        # ---- driver-checked; these overflow the correctness window)
         "event_hourly": q_event_hourly,
         "sessionize": q_sessionize,
-        # relational breadth
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "revenue_by_nation": q_revenue_by_nation,
         "part_type_stats": q_part_type_stats,
-        # stateful / multimodal (rows-only checks)
-        "crawl_two_rounds": q_crawl_two_rounds,
-        "image_features": q_image_features,
     }
 
 
@@ -1997,6 +1985,92 @@ FROM w WHERE rn = 1
 """.strip()
 
 
+def _ivf_trained_sql() -> str:
+    """DuckDB twin of q_ivf_trained_recall: the SAME deterministic
+    Lloyd's iterations unrolled as CTE pairs (assign → exact-integer-sum
+    means → float32-rounded centroid vectors), then the same IVF
+    probe/rerank and brute-force recall join. Every arithmetic step
+    mirrors the Spark expression order (see train_centroids
+    exact_means) so trained centroids — and therefore the routing and
+    the recall counts — agree exactly."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    ctes = [
+        "corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id % {IVF_TRAIN_SEED_MOD}, vec_id) - 1 AS INT) AS cluster,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id % {IVF_TRAIN_SEED_MOD}, vec_id LIMIT {IVF_TRAIN_CENTS})""",
+    ]
+    for it in range(IVF_TRAIN_ITERS):
+        sim = cos.format(a="c.v", b="t.cv")
+        ctes.append(f"""asg{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT c.vec_id, t.cluster,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {sim} DESC, t.cluster) AS rn
+    FROM corpus c, cents{it} t) WHERE rn = 1)""")
+        ctes.append(f"""m{it} AS (
+  SELECT a.cluster, t.d,
+         (CAST(sum(CAST(round(c.v[t.d] * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000.0) / CAST(count(*) AS DOUBLE) AS m
+  FROM asg{it} a JOIN corpus c USING (vec_id),
+       unnest(generate_series(1, 64)) AS t(d)
+  GROUP BY a.cluster, t.d)""")
+        ctes.append(f"""cents{it + 1} AS (
+  SELECT cluster,
+         list_transform(array_agg(m ORDER BY d),
+                        x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+  FROM m{it} GROUP BY cluster)""")
+    final = f"cents{IVF_TRAIN_ITERS}"
+    q_sim = cos.format(a="q.qv", b="t.cv")
+    s_sim = cos.format(a="p.qv", b="c.v")
+    b_sim = cos.format(a="q.qv", b="c.v")
+    ctes.append(f"""q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 6)""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, cluster, qv FROM (
+    SELECT q.query_id, t.cluster, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {q_sim} DESC, t.cluster) AS rn
+    FROM q, {final} t) WHERE rn <= {IVF_TRAIN_PROBE})""")
+    a_sim = cos.format(a="c.v", b="t.cv")
+    ctes.append(f"""asg_final AS (
+  SELECT vec_id, cluster FROM (
+    SELECT c.vec_id, t.cluster,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {a_sim} DESC, t.cluster) AS rn
+    FROM corpus c, {final} t) WHERE rn = 1)""")
+    ctes.append(f"""ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {s_sim} DESC, c.vec_id) AS rank
+    FROM probes p
+    JOIN asg_final a2 ON a2.cluster = p.cluster
+    JOIN corpus c ON c.vec_id = a2.vec_id) WHERE rank <= {IVF_TRAIN_K})""")
+    ctes.append(f"""brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {b_sim} DESC, c.vec_id) AS rank
+    FROM q, corpus c) WHERE rank <= {IVF_TRAIN_K})""")
+    ctes.append("""hits AS (
+  SELECT i.query_id, count(*) AS n_hits
+  FROM ivf i JOIN brute b USING (query_id, neighbor_id)
+  GROUP BY i.query_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT q.query_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 100 / {IVF_TRAIN_K} AS BIGINT) AS recall_x100,
+       (coalesce(h.n_hits, 0) >= {IVF_TRAIN_K // 2}) AS recall_ok
+FROM q LEFT JOIN hits h USING (query_id)
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     stop_hits = " + ".join(occ_sql("text", w) for w in TS.STOPWORDS_MINI)
 
@@ -2024,28 +2098,28 @@ u AS (SELECT url, min(seq) AS seq FROM frontier GROUP BY url),
 r AS (SELECT url, seq, row_number() OVER (ORDER BY seq) - 1 AS p FROM u)
 SELECT url, seq FROM r WHERE p >= 20 AND p < 50
 """.strip(),
-        "url_skip_filter": f"""
-WITH {MESSY_CTE}
-SELECT doc_id, url,
-       (doc_id % 11 = 0 OR doc_id % 7 IN (0, 1, 2)) AS skipped
+        "url_filters": f"""
+WITH {MESSY_CTE},
+{PATHS_CTE}
+SELECT 'skip' AS kind, doc_id, url,
+       (doc_id % 11 = 0 OR doc_id % 7 IN (0, 1, 2)) AS flag
 FROM messy
+UNION ALL
+SELECT 'likely' AS kind, doc_id, url, (doc_id % 6 IN (2, 4)) AS flag
+FROM paths
 """.strip(),
-        "url_likely_articles": f"""
-WITH {PATHS_CTE}
-SELECT doc_id, url FROM paths WHERE doc_id % 6 IN (2, 4)
-""".strip(),
-        "url_canonicalize": """
-SELECT doc_id,
-       'https://h' || (doc_id % 20) || '.example.com/Path/' || doc_id || '?q=1' AS canonical
-FROM documents
-""".strip(),
-        "amp_candidates": f"""
-WITH {FRONTIER_CTE},
-f AS (SELECT seq, url FROM frontier WHERE seq < 50)
-SELECT seq, 0 AS variant, url || '/amp' AS candidate FROM f
-UNION ALL SELECT seq, 1, url || '/amp.html' FROM f
-UNION ALL SELECT seq, 2, url || '?amp=1' FROM f
-UNION ALL SELECT seq, 3, url || '?output=amp' FROM f
+        "url_transforms": f"""
+WITH {FRONTIER_CTE}
+SELECT seq, url,
+       'https://h' || (seq % 20) || '.example.com/Path/' || seq || '?q=1' AS canonical,
+       (CASE WHEN url LIKE 'https://src0.example.com/%'
+             THEN 'https://mirror0.example.net/' || substr(url, 26)
+             WHEN url LIKE 'https://src1.example.com/en/%'
+             THEN 'https://src1.example.com/english/' || substr(url, 29)
+             ELSE url END) AS rewritten,
+       url || '/amp' AS amp_1,
+       url || '/amp.html' AS amp_2
+FROM frontier
 """.strip(),
         "seen_antijoin": f"""
 WITH {FRONTIER_CTE}
@@ -2091,24 +2165,24 @@ SELECT url, min(seq) AS seq,
              ELSE 'suffix-any' END) AS setting
 FROM frontier GROUP BY url, host
 """.strip(),
-        "rss_extract": """
-            SELECT source AS feed_url,
-                   CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS pos,
-                   CASE WHEN doc_id % 7 = 0
-                        THEN 'https://' || source || '.example.com/guid-' || doc_id
-                        ELSE 'https://' || source || '.example.com/story-' || doc_id
-                   END AS url
-            FROM documents WHERE doc_id < 300
-        """,
-        "sitemap_extract": """
-            SELECT source AS feed_url,
-                   CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS pos,
-                   'https://' || source || '.example.com/page-' || doc_id AS url
-            FROM documents WHERE doc_id < 300
-        """,
+        "feeds_extract": """
+SELECT 'rss' AS kind, source AS feed_url,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS pos,
+       CASE WHEN doc_id % 7 = 0
+            THEN 'https://' || source || '.example.com/guid-' || doc_id
+            ELSE 'https://' || source || '.example.com/story-' || doc_id
+       END AS url
+FROM documents WHERE doc_id < 300
+UNION ALL
+SELECT 'sitemap' AS kind, source AS feed_url,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS pos,
+       'https://' || source || '.example.com/page-' || doc_id AS url
+FROM documents WHERE doc_id < 300
+""".strip(),
         "extract_title": """
 SELECT doc_id, 'OG Doc ' || doc_id AS title,
-       'Doc ' || doc_id || ' | ExampleSite' AS doc_title
+       'Doc ' || doc_id || ' | ExampleSite' AS doc_title,
+       'Doc ' || doc_id AS title_stripped
 FROM documents
 """.strip(),
         "extract_links": f"""
@@ -2117,12 +2191,6 @@ SELECT seq AS doc_id, 2 AS n_links,
        'https://' || host || '/next/' || (seq + 1) AS first_href,
        'ext' AS second_text
 FROM frontier
-""".strip(),
-        "extract_definitions": """
-SELECT doc_id, 2 AS n_items,
-       'Lang' AS term1, lang || '|doc ' || doc_id AS descs1,
-       'Bucket' AS term2, 'b' || (doc_id % 5) AS descs2
-FROM documents
 """.strip(),
         "extract_jsonld": """
 SELECT doc_id,
@@ -2134,7 +2202,21 @@ SELECT doc_id,
 FROM documents
 """.strip(),
         "extract_meta": """
-SELECT doc_id, 2 AS n_meta, lang || ' article' AS description FROM documents
+WITH t AS (
+  SELECT doc_id, lang, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s FROM documents
+), e AS (
+  SELECT doc_id, lang,
+         (CASE WHEN length(s) <= 200 THEN s
+               ELSE substr(s, 1, 200) ||
+                    (CASE WHEN substr(s, 200, 1) = ' ' THEN ''
+                          ELSE coalesce(string_split(substr(s, 201, 1000000), ' ')[1], '')
+                     END)
+          END) AS snip
+  FROM t
+), tr AS (SELECT doc_id, lang, trim(snip) AS x FROM e)
+SELECT doc_id, 2 AS n_meta, lang || ' article' AS description,
+       (CASE WHEN length(x) > 0 THEN upper(substr(x, 1, 1)) || substr(x, 2, 1000000) END) AS excerpt
+FROM tr
 """.strip(),
         "extract_images": f"""
 WITH {FRONTIER_CTE}
@@ -2146,88 +2228,61 @@ SELECT seq AS doc_id,
        (CASE WHEN seq % 2 = 0 THEN 32 END) AS height
 FROM frontier
 """.strip(),
-        "extract_tables": """
+        "extract_structured": """
 SELECT doc_id,
        1 AS n_tables,
        'Key|Value' AS headers,
        2 AS row_count,
        2 AS col_count,
        'bucket|b' || (doc_id % 5) AS row2_cells,
-       'b' || (doc_id % 5) AS row2_value
-FROM documents
-""".strip(),
-        "extract_figures": """
-SELECT doc_id,
+       'b' || (doc_id % 5) AS row2_value,
        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_figures,
-       (CASE WHEN doc_id % 2 = 0 THEN 'Caption ' || doc_id END) AS caption,
-       (CASE WHEN doc_id % 2 = 0 THEN '/img/' || doc_id || '.png' END) AS src,
-       (CASE WHEN doc_id % 2 = 0 THEN 'alt text' END) AS alt
+       (CASE WHEN doc_id % 2 = 0 THEN 'Caption ' || doc_id END) AS fig_caption,
+       (CASE WHEN doc_id % 2 = 0 THEN '/img/' || doc_id || '.png' END) AS fig_src,
+       (CASE WHEN doc_id % 2 = 0 THEN 'alt text' END) AS fig_alt,
+       2 AS n_items,
+       'Lang' AS term1, lang || '|doc ' || doc_id AS descs1,
+       'Bucket' AS term2, 'b' || (doc_id % 5) AS descs2
 FROM documents
 """.strip(),
-        "title_suffix_strip": """
-SELECT doc_id, 'Doc ' || doc_id AS title FROM documents
-""".strip(),
-        "readability": f"""
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS characters,
-       CAST({TOKCOUNT_SQL} AS BIGINT) AS words,
+        "text_quality": f"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS characters,
+         CAST({TOKCOUNT_SQL} AS BIGINT) AS words,
+         ({stop_hits}) AS stopword_hits,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         {NORMTEXT_SQL} AS nt
+  FROM documents
+), r AS (
+  SELECT *,
+         (CASE WHEN words > 0 THEN CAST(characters AS DOUBLE) / words ELSE 0.0 END) AS mwl,
+         (CASE WHEN words > 0 THEN CAST(stopword_hits AS DOUBLE) / words ELSE 0.0 END) AS sr,
+         (CASE WHEN characters > 0 THEN alpha / characters ELSE 0.0 END) AS ar
+  FROM q
+)
+SELECT doc_id, characters, words,
        CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
                                      x -> trim(x) <> '')), 1) AS BIGINT) AS sentences,
        CAST(greatest(len(list_filter(string_split_regex(text, '\\n{{2,}}'),
                                      x -> trim(x) <> '')), 1) AS BIGINT) AS paragraphs,
-       CAST(round({TOKCOUNT_SQL} / 200.0 * 60.0) AS BIGINT) AS reading_time
-FROM documents
-""".strip(),
-        "token_count": f"""
-SELECT doc_id, CAST({TOKCOUNT_SQL} AS BIGINT) AS n_tokens,
-       {occ_sql('text', 'the')} AS n_the
-FROM documents
-""".strip(),
-        "quality_score": f"""
-WITH q AS (
-  SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST({TOKCOUNT_SQL} AS BIGINT) AS n_words,
-         ({stop_hits}) AS stopword_hits,
-         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
-  FROM documents
-), r AS (
-  SELECT *,
-         (CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END) AS mwl,
-         (CASE WHEN n_words > 0 THEN CAST(stopword_hits AS DOUBLE) / n_words ELSE 0.0 END) AS sr,
-         (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) AS ar
-  FROM q
-)
-SELECT doc_id, n_chars, n_words, stopword_hits,
+       CAST(round({TOKCOUNT_SQL} / 200.0 * 60.0) AS BIGINT) AS reading_time,
+       {occ_sql('text', 'the')} AS n_the,
+       stopword_hits,
        CAST(round(ar * 10000) AS BIGINT) AS alpha_ratio_x1e4,
        CAST(round(least(
-         least(CAST(n_chars AS DOUBLE) / 20.0, 40.0)
+         least(CAST(characters AS DOUBLE) / 20.0, 40.0)
          + 30.0 * ar
          + 20.0 * least(sr * 4.0, 1.0)
          + 10.0 * (CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.0 END),
-         100.0)) AS BIGINT) AS quality_score
+         100.0)) AS BIGINT) AS quality_score,
+       md5(array_to_string(list_sort(string_split(nt, ' ')), ' ')) AS bag_fp
 FROM r
 """.strip(),
         "langid": _langid_sql(),
-        "sentiment": _sentiment_sql(with_label=True),
-        "sentiment_join": _sentiment_sql(with_label=False),
-        "excerpt": """
-WITH t AS (
-  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s FROM documents
-), e AS (
-  SELECT doc_id,
-         (CASE WHEN length(s) <= 200 THEN s
-               ELSE substr(s, 1, 200) ||
-                    (CASE WHEN substr(s, 200, 1) = ' ' THEN ''
-                          ELSE coalesce(string_split(substr(s, 201, 1000000), ' ')[1], '')
-                     END)
-          END) AS snip
-  FROM t
-), tr AS (SELECT doc_id, trim(snip) AS x FROM e)
-SELECT doc_id,
-       (CASE WHEN length(x) > 0 THEN upper(substr(x, 1, 1)) || substr(x, 2, 1000000) END) AS excerpt
-FROM tr
-""".strip(),
+        "sentiment": _sentiment_sql(with_label=True)
+        .replace("SELECT doc_id, score AS sentiment_score",
+                 "SELECT doc_id, score AS sentiment_score, score AS score_join"),
         "summary": f"""
 SELECT doc_id, 5 AS n_sentences,
        '{SUMMARY_S0} {SUMMARY_S1} {SUMMARY_S2A}' || doc_id ||
@@ -2237,46 +2292,49 @@ FROM documents
         "reranker_train": "SELECT * FROM (VALUES "
         + ", ".join(f"({d}, CAST({w!r} AS DOUBLE))" for d, w in _oracle_gd_weights())
         + ") AS t(dim, weight)",
-        "keyphrases_topk": """
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
-), grams AS (
-  SELECT doc_id, ws[gs] || ' ' || ws[gs + 1] AS phrase
-  FROM toks, unnest(range(1, len(ws))) AS t(gs)
-), flt AS (
-  SELECT doc_id, phrase FROM grams
-  WHERE string_split(phrase, ' ')[1] NOT IN ({STOP})
-    AND string_split(phrase, ' ')[-1] NOT IN ({STOP})
-    AND length(phrase) > 3
-    AND len(list_filter(string_split(phrase, ' '),
-                        w -> NOT {POSGATE})) = 0
-), tf AS (
-  SELECT doc_id, phrase, count(*) AS tf FROM flt GROUP BY doc_id, phrase
-), r AS (
-  SELECT doc_id, phrase, tf,
-         round(tf * 1.0 / max(tf) OVER (PARTITION BY doc_id), 9) AS score,
-         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, phrase ASC) AS rank
-  FROM tf
-)
-SELECT doc_id, phrase, tf, score, rank FROM r WHERE rank <= 8
-""".replace("{STOP}", "'a', 'the', 'and', 'of', 'to', 'in'")
-        .replace("{POSGATE}", TS.pos_noun_gate_sql("w")).strip(),
-        "keywords_topk": f"""
+        "keywords_topk": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
 ), flt AS (
   SELECT doc_id, term FROM toks
-  WHERE term NOT IN ({", ".join(f"'{w}'" for w in TS.STOPWORDS_MINI)}) AND length(term) > 1
-    AND {TS.pos_noun_gate_sql("term")}
+  WHERE term NOT IN ({STOP}) AND length(term) > 1
+    AND {POSGATE_TERM}
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM flt GROUP BY doc_id, term
 ), r AS (
   SELECT doc_id, term, tf,
          row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rank
   FROM tf
+), pt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, ws[gs] || ' ' || ws[gs + 1] AS phrase
+  FROM pt, unnest(range(1, len(ws))) AS t(gs)
+), pflt AS (
+  SELECT doc_id, phrase FROM grams
+  WHERE string_split(phrase, ' ')[1] NOT IN ({STOP})
+    AND string_split(phrase, ' ')[-1] NOT IN ({STOP})
+    AND length(phrase) > 3
+    AND len(list_filter(string_split(phrase, ' '),
+                        w -> NOT {POSGATE_W})) = 0
+), ptf AS (
+  SELECT doc_id, phrase, count(*) AS tf FROM pflt GROUP BY doc_id, phrase
+), pr AS (
+  SELECT doc_id, phrase, tf,
+         round(tf * 1.0 / max(tf) OVER (PARTITION BY doc_id), 9) AS score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, phrase ASC) AS rank
+  FROM ptf
 )
-SELECT doc_id, term, tf, rank FROM r WHERE rank <= 10
-""".strip(),
+SELECT doc_id, 'term' AS kind, term AS gram, tf, rank,
+       CAST(NULL AS BIGINT) AS score_x1e9
+FROM r WHERE rank <= 10
+UNION ALL
+SELECT doc_id, 'phrase' AS kind, phrase AS gram, tf, rank,
+       CAST(round(score * 1000000000) AS BIGINT) AS score_x1e9
+FROM pr WHERE rank <= 8
+""".replace("{STOP}", "'a', 'the', 'and', 'of', 'to', 'in'")
+        .replace("{POSGATE_TERM}", TS.pos_noun_gate_sql("term"))
+        .replace("{POSGATE_W}", TS.pos_noun_gate_sql("w")).strip(),
         "string_helpers": """
 WITH d AS (
   SELECT doc_id,
@@ -2292,7 +2350,9 @@ SELECT doc_id,
            w -> regexp_extract(w, '^([^\\w]*)', 1)
                 || upper(substr(w, length(regexp_extract(w, '^([^\\w]*)', 1)) + 1, 1))
                 || lower(substr(w, length(regexp_extract(w, '^([^\\w]*)', 1)) + 2))
-         ), ' ') AS titled
+         ), ' ') AS titled,
+       lower(trim(regexp_replace(regexp_replace(raw, '[^A-Za-z0-9À-￿]+', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS normalized
 FROM d
 """.strip(),
         "keywords_cleaned": f"""
@@ -2331,34 +2391,6 @@ WITH d AS (
   FROM g
 )
 SELECT doc_id, keyword, tf, rank FROM r WHERE rank <= 8
-""".strip(),
-        "normalize_entity": """
-SELECT p_partkey,
-       lower(trim(regexp_replace(regexp_replace(p_name, '[^A-Za-z0-9À-￿]+', ' ', 'g'),
-                                 '\\s+', ' ', 'g'))) AS normalized
-FROM part
-""".strip(),
-        "error_classify": """
-SELECT doc_id,
-       (CASE doc_id % 5 WHEN 0 THEN 'Navigation Timeout exceeded'
-             WHEN 1 THEN 'HTTP 403 Forbidden'
-             WHEN 2 THEN 'GDPR consent wall detected'
-             WHEN 3 THEN 'Execution context was destroyed'
-             ELSE 'boom' END) AS msg,
-       (CASE doc_id % 5 WHEN 0 THEN 'timeout' WHEN 1 THEN 'forbidden'
-             WHEN 2 THEN 'consent' WHEN 3 THEN 'context'
-             ELSE 'generic' END) AS family
-FROM documents
-""".strip(),
-        "url_rewrites": f"""
-WITH {FRONTIER_CTE}
-SELECT seq, url,
-       (CASE WHEN url LIKE 'https://src0.example.com/%'
-             THEN 'https://mirror0.example.net/' || substr(url, 26)
-             WHEN url LIKE 'https://src1.example.com/en/%'
-             THEN 'https://src1.example.com/english/' || substr(url, 29)
-             ELSE url END) AS rewritten
-FROM frontier
 """.strip(),
         "entities": _entities_oracle_sql(),
         "content_candidates": """
@@ -2460,7 +2492,9 @@ WITH d AS (
          text || ' zzrare' ||
            (CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END) ||
            (CASE WHEN doc_id % 5 = 0 THEN ' zzentity'
-                 WHEN doc_id % 5 = 1 THEN ' zzentitys' ELSE '' END) AS text
+                 WHEN doc_id % 5 = 1 THEN ' zzentitys' ELSE '' END) ||
+           (CASE WHEN doc_id % 7 = 0 THEN ' tabl'
+                 WHEN doc_id % 7 = 1 THEN ' scann' ELSE '' END) AS text
   FROM documents),
 t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
 toks AS (
@@ -2480,34 +2514,15 @@ pos AS (
   FROM toks),
 freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
 dict AS (SELECT word FROM freq WHERE c >= 0.5 * (SELECT count(*) FROM documents)),
-entkeys AS (SELECT 'zzentity' AS word UNION ALL SELECT 'zzentitys')
-SELECT doc_id, 1 AS line, word_idx, word, col_char,
-       CAST(col_char - 1 AS BIGINT) AS offset_start,
-       CAST(col_char - 1 + length(regexp_replace(word,
-              '^[^A-Za-z]+|[^A-Za-z]+$', '', 'g')) AS BIGINT) AS offset_end
-FROM pos
-WHERE word NOT IN (SELECT word FROM dict)
-  AND word NOT IN (SELECT word FROM entkeys)
-""".strip(),
-        "spellcheck_suggest": """
-WITH d AS (
-  SELECT doc_id,
-         text || ' zzrare' ||
-           (CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END) ||
-           (CASE WHEN doc_id % 5 = 0 THEN ' tabl'
-                 WHEN doc_id % 5 = 1 THEN ' scann' ELSE '' END) AS text
-  FROM documents),
-t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
-toks AS (
-  SELECT doc_id,
-         CAST(generate_subscripts(ws, 1) - 1 AS INT) AS word_idx,
-         unnest(ws) AS word
-  FROM t),
-freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
-dict AS (SELECT word FROM freq WHERE c >= 0.5 * (SELECT count(*) FROM documents)),
+entkeys AS (SELECT 'zzentity' AS word UNION ALL SELECT 'zzentitys'),
 miss AS (
-  SELECT doc_id, 1 AS line, word_idx, word FROM toks
-  WHERE word NOT IN (SELECT word FROM dict)),
+  SELECT doc_id, 1 AS line, word_idx, word, col_char,
+         CAST(col_char - 1 AS BIGINT) AS offset_start,
+         CAST(col_char - 1 + length(regexp_replace(word,
+                '^[^A-Za-z]+|[^A-Za-z]+$', '', 'g')) AS BIGINT) AS offset_end
+  FROM pos
+  WHERE word NOT IN (SELECT word FROM dict)
+    AND word NOT IN (SELECT word FROM entkeys)),
 sugg AS (
   SELECT m.doc_id, m.line, m.word_idx, m.word, dd.word AS s
   FROM miss m JOIN dict dd ON levenshtein(lower(m.word), dd.word) <= 1),
@@ -2520,6 +2535,7 @@ agg AS (
          string_agg(s, ',' ORDER BY s) AS suggestions
   FROM ranked WHERE rn <= 5 GROUP BY doc_id, line, word_idx, word)
 SELECT m.doc_id, m.line, m.word_idx, m.word,
+       m.col_char, m.offset_start, m.offset_end,
        coalesce(a.suggestions, '') AS suggestions
 FROM miss m
 LEFT JOIN agg a USING (doc_id, line, word_idx, word)
@@ -2528,12 +2544,15 @@ LEFT JOIN agg a USING (doc_id, line, word_idx, word)
 WITH n AS (SELECT doc_id, md5({NORMTEXT_SQL.replace('text', 'text')}) AS fingerprint FROM documents)
 SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_dups FROM n GROUP BY fingerprint
 """.strip(),
-        "bag_fingerprint": f"""
-WITH n AS (SELECT doc_id, {NORMTEXT_SQL} AS nt FROM documents)
-SELECT doc_id, md5(array_to_string(list_sort(string_split(nt, ' ')), ' ')) AS bag_fp FROM n
+        "minhash_lsh": f"""
+WITH bkts AS (
+{_lsh_buckets_sql()}
+), sig2 AS (
+{_minhash_sql()}
+)
+SELECT b.band, b.bucket, b.doc_id, {", ".join(f"s.mh{j}" for j in range(N_MINHASH))}
+FROM bkts b JOIN sig2 s USING (doc_id)
 """.strip(),
-        "minhash_signatures": _minhash_sql(),
-        "lsh_buckets": _lsh_buckets_sql(),
         "simhash": _simhash_sql(),
         "ngram_jaccard": f"""
 WITH norm AS (
@@ -2568,23 +2587,20 @@ WITH q AS (
 ), s AS (
   SELECT query_id, neighbor_id,
          list_dot_product(qv, v)
-         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos,
+         sqrt(list_dot_product(v, v)) AS nrm
   FROM c, q
 ), r AS (
-  SELECT query_id, neighbor_id, cos,
+  SELECT query_id, neighbor_id, cos, nrm,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM s
 )
 SELECT query_id, neighbor_id, rank,
-       CAST(round(cos * 1000000) AS BIGINT) AS cosine_x1e6
+       CAST(round(cos * 1000000) AS BIGINT) AS cosine_x1e6,
+       CAST(round(nrm * 1000000) AS BIGINT) AS norm_x1e6
 FROM r WHERE rank <= 10
 """.strip(),
-        "embedding_norms": """
-SELECT vec_id,
-       CAST(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                  * 1000000) AS BIGINT) AS norm_x1e6
-FROM embeddings
-""".strip(),
+        "ivf_trained_recall": _ivf_trained_sql(),
         "ann_lsh_buckets": _ann_lsh_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "label_centroids": """
@@ -2609,14 +2625,10 @@ WITH f AS (
          'Beta body ' || doc_id || ' ends.' AS formatted,
          'Heading ' || doc_id || '. Alpha ' || text || '. Beta body ' || doc_id || ' ends.' AS raw
   FROM documents)
-SELECT doc_id, raw, formatted,
-       '<span>' || replace(formatted, chr(10), '</span>' || chr(10) || '<span>') || '</span>' AS html_text
-FROM f
-""".strip(),
-        "striptags": """
-SELECT doc_id,
-       '<html><body><p id="keep">Keep ' || text || '</p></body></html>' AS stripped
-FROM documents
+SELECT f.doc_id, f.raw, f.formatted,
+       '<span>' || replace(f.formatted, chr(10), '</span>' || chr(10) || '<span>') || '</span>' AS html_text,
+       '<html><body><p id="keep">Keep ' || d.text || '</p></body></html>' AS stripped
+FROM f JOIN documents d ON f.doc_id = d.doc_id
 """.strip(),
         "boilerplate_strip": """
 SELECT doc_id,
@@ -2665,7 +2677,10 @@ WITH e AS (
   FROM events WHERE event_type = 'error'
 )
 SELECT event_id, user_id, attempt,
-       epoch_ms(ts) + attempt * 1000 AS not_before_ms
+       epoch_ms(ts) + attempt * 1000 AS not_before_ms,
+       (CASE event_id % 5 WHEN 0 THEN 'timeout' WHEN 1 THEN 'forbidden'
+             WHEN 2 THEN 'consent' WHEN 3 THEN 'context'
+             ELSE 'generic' END) AS family
 FROM e
 """.strip(),
         "pricing_summary": """

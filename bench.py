@@ -42,18 +42,17 @@ HEADLINE = [
     "seen_antijoin",
     "politeness_budget",
     "robots_filter",
-    "url_canonicalize",
+    "url_transforms",
     "round_robin_interleave",
     "extract_title",
     "extract_links",
     "extract_images",
-    "minhash_signatures",
-    "lsh_buckets",
+    "minhash_lsh",
     "simhash",
     "ngram_jaccard",
     "knn_bruteforce",
     "langid",
-    "quality_score",
+    "text_quality",
     "sentiment",
     "keywords_topk",
     "sessionize",

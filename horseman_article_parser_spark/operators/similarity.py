@@ -140,11 +140,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int =
 
 def train_centroids(corpus: DataFrame, n_centroids: int = 16, n_iters: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed_mod: int = 97) -> DataFrame:
+                    seed_mod: int = 97, exact_means: bool = False) -> DataFrame:
     """Lloyd's k-means over DataFrame ops. Init = deterministic sample
     (vec_id ordering); each iteration is one assign (broadcast centroids)
     + one mean-reduce (posexplode → avg per (cluster, dim)). Centroid
-    tables are tiny and always broadcast."""
+    tables are tiny and always broadcast.
+
+    exact_means=True computes each centroid mean from an INTEGER sum of
+    round(val·10^6) (order-independent, exact) divided back in a pinned
+    expression order, so an independent engine (the DuckDB oracle twin)
+    reproduces the trained centroids bit-for-bit regardless of partial
+    aggregation order. Default off: plain double avg is marginally
+    cheaper and training quality is identical."""
     # init: TakeOrdered of n_centroids rows (tiny, deterministic order),
     # numbered on the driver — no RDD API, no extra jobs (the old path
     # cost a .first() for dim + an RDD zipWithIndex round-trip)
@@ -160,11 +167,21 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, n_iters: int = 5,
     )
     for _ in range(n_iters):
         assigned = assign_clusters(corpus, cents, id_col, vec_col)
-        cents = (
+        exploded = (
             assigned.join(corpus, id_col)
             .select("cluster", F.posexplode(F.col(vec_col)).alias("d", "val"))
-            .groupBy("cluster", "d")
-            .agg(F.avg("val").alias("m"))
+        )
+        if exact_means:
+            mean = (
+                F.sum(F.round(F.col("val").cast("double") * 1_000_000)
+                      .cast("long")).cast("double")
+                / F.lit(1_000_000.0)
+            ) / F.count("*").cast("double")
+        else:
+            mean = F.avg("val")
+        cents = (
+            exploded.groupBy("cluster", "d")
+            .agg(mean.alias("m"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_dm"))
             .select(
