@@ -600,42 +600,85 @@ def q_text_quality(spark, sf_dir):
     )
 
 
-# Per-language sample sentences for the langid oracle (doc_id % 12
-# selects one); each must be detected as its own language — asserted in
-# tests/test_textstats.py, while the oracle pins the scoring arithmetic.
+# Per-language sample sentences for the langid oracle
+# (doc_id % n_languages selects one); each must be detected as its own
+# language — asserted in tests/test_textstats.py, while the oracle pins
+# the scoring arithmetic. 33 languages / 14 scripts.
 LANG_SAMPLES: dict[str, str] = {
+    "arb": ("الثعلب البني السريع يقفز فوق الكلب الكسول في المدينة "
+            "الكبيرة من دون معرفة الناس على الشارع"),
+    "ben": ("দ্রুত বাদামী শিয়াল অলস কুকুরের উপর লাফ দেয় এবং শহরের "
+            "মানুষ সেটা দেখে খুশি হয়ে করে"),
+    "ces": ("rychlá hnědá liška skáče přes líného psa ve velkém městě "
+            "kde není nic nového pro lidi ani pro ně"),
+    "cmn": ("敏捷的棕色狐狸跳过了懒惰的狗我们都在大城市里看到了这个有趣的事情"
+            "大家都是朋友"),
     "deu": ("der schnelle braune fuchs springt über den faulen hund und "
             "die katze schläft in der großen verwaltung gemütlich"),
     "ell": ("και η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο "
             "της μεγάλης πόλης και την θάλασσα"),
     "eng": ("the quick brown fox jumps over the lazy dog and then the "
             "animals are running into the deep forest together"),
+    "fas": ("روباه قهوه ای سریع از روی سگ تنبل می پرد و در شهر بزرگ "
+            "زندگی می کند که مردم را دیده اند"),
+    "fin": ("nopea ruskea kettu hyppää laiskan koiran yli suuressa "
+            "kaupungissa ja kaikki ihmiset katsovat sitä ihmeissään"),
     "fra": ("le renard brun rapide saute par dessus le chien paresseux "
             "dans les grands champs que la lumière éclaire"),
+    "heb": ("השועל החום המהיר קופץ מעל הכלב העצלן בעיר הגדולה ואנשים "
+            "רבים רואים את זה של הבוקר"),
+    "hin": ("तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है और शहर में सब "
+            "लोग उसे देखते हैं और खुश होते हैं"),
+    "hun": ("a gyors barna róka átugrik a lusta kutya felett egy nagy "
+            "városban ahol az emberek sokat dolgoznak a munkában"),
+    "hye": ("արագ շագանակագույն աղվեսը ցատկում է ծույլ շան վրայով մեծ "
+            "քաղաքում որտեղ մարդիկ ապրում են"),
+    "ind": ("rubah coklat yang cepat melompat di atas anjing yang malas "
+            "di kota besar dengan orang yang berjalan"),
     "ita": ("la volpe veloce salta sopra il cane pigro della grande "
             "città che dorme al sole con gli amici della stazione"),
     "jpn": ("すばやい茶色の狐はのんびりした犬を飛び越えましたそれは見事でしたと"
             "いうことです"),
+    "kat": ("სწრაფი ყავისფერი მელა ახტება ზარმაც ძაღლზე დიდ ქალაქში "
+            "სადაც ხალხი ცხოვრობს და მუშაობს"),
+    "kor": ("빠른 갈색 여우는 게으른 개를 뛰어넘는다 그리고 도시에 있는 "
+            "사람들이 그것을 보고 있다"),
     "nld": ("de snelle bruine vos springt over de luie hond van het "
             "grote huis een keer voor de verandering"),
+    "nob": ("den raske brune reven hopper over den late hunden i den "
+            "store byen på en fin dag for alle"),
     "pol": ("szybki brązowy lis przeskakuje nad leniwym psem w wielkim "
             "polskim mieście gdzie nie ma niczego ciekawego"),
     "por": ("a rápida raposa marrom salta sobre o cão preguiçoso da "
             "grande cidade que dorme durante a informação da manhã"),
+    "ron": ("vulpea maro rapidă sare peste câinele leneș în orașul mare "
+            "unde oamenii sunt mulți și muncesc mult"),
     "rus": ("быстрая коричневая лиса прыгает через ленивую собаку на "
             "большой площади не зная ничего про государство"),
     "spa": ("el rápido zorro marrón salta sobre el perro perezoso de la "
             "gran ciudad que duerme con la información de la mañana"),
     "swe": ("den snabba bruna räven hoppar över den lata hunden och "
             "katten i det stora huset för att det är sommar"),
+    "tam": ("வேகமான பழுப்பு நரி சோம்பேறி நாயின் மேல் குதிக்கிறது "
+            "நகரத்தில் மக்கள் அதை பார்க்கிறார்கள்"),
+    "tha": ("สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจในเมืองใหญ่และ"
+            "ผู้คนมากมายมองดูมัน"),
+    "tur": ("hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve "
+            "büyük şehirde insanlar bunu görür bir gün"),
+    "ukr": ("швидка коричнева лисиця стрибає через ледачого пса у "
+            "великому місті де багато людей працюють щодня"),
+    "urd": ("تیز بھوری لومڑی سست کتے کے اوپر چھلانگ لگاتی ہے اور شہر "
+            "میں لوگ اسے دیکھتے ہیں"),
+    "vie": ("con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng trong "
+            "thành phố lớn và mọi người nhìn thấy"),
 }
 
 
 def q_langid(spark, sf_dir):
     """N1 trigram-profile language ID (franc model, language.js:26-46):
-    struct(iso6391, iso6393) over 12 languages incl. Cyrillic, Greek and
-    Japanese scripts; exact arithmetic oracle (score algebra rendered to
-    SQL) over by-construction per-language sample texts."""
+    struct(iso6391, iso6393) over 33 languages / 14 scripts; exact
+    arithmetic oracle (score algebra rendered to SQL) over
+    by-construction per-language sample texts."""
     docs = _load(_prep(spark), sf_dir, "documents")
     langs = sorted(TS.LANG_TRIGRAMS)
     sample = F.element_at(
@@ -1086,7 +1129,11 @@ def _entity_text_col():
         F.lit("Google's team met "), F.element_at(n2, i),
         F.lit(" Senior Product Manager for Slack. "),
         F.lit("However "), F.element_at(n1, j),
-        F.lit(" said the United Kingdom's plan works."),
+        F.lit(" said the United Kingdom's plan works. "),
+        # SO4 country-sequence: one capitalized run holding two
+        # countries must split into exactly two places (prefix set
+        # keeps 'United Arab Emirates' whole)
+        F.lit("The United Arab Emirates South Korea talks continued."),
     )
 
 
@@ -1116,6 +1163,8 @@ def _entities_oracle_sql() -> str:
         ("people", 2, c1n),
         ("places", 0, "'Paris'"),
         ("places", 1, "'United Kingdom'"),
+        ("places", 2, "'United Arab Emirates'"),
+        ("places", 3, "'South Korea'"),
         ("orgs", 0, "'Google'"),
         ("orgs", 1, "'Slack'"),
         ("topics", 0, f"'Mr ' || {c1}"),
@@ -1125,6 +1174,8 @@ def _entities_oracle_sql() -> str:
         ("topics", 4, "'Slack'"),
         ("topics", 5, c1n),
         ("topics", 6, "'United Kingdom'"),
+        ("topics", 7, "'United Arab Emirates'"),
+        ("topics", 8, "'South Korea'"),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT doc_id, '{k}' AS kind, {p} AS pos, {e} AS entity FROM documents"
@@ -1938,11 +1989,11 @@ def _langid_sql() -> str:
     selection, same normalization, same Σ count·(K−rank) scores, same
     (score desc, iso6393 asc) winner rule, same eng/en fallback."""
     langs = sorted(TS.LANG_TRIGRAMS)
-    txt_case = ("CASE CAST(doc_id % 12 AS INT) "
+    txt_case = (f"CASE CAST(doc_id % {len(langs)} AS INT) "
                 + " ".join(f"WHEN {i} THEN '{LANG_SAMPLES[lang]}'"
                            for i, lang in enumerate(langs))
                 + " END")
-    norm = ("' ' || trim(regexp_replace(lower(txt), '[^\\p{L}]+', ' ', 'g'))"
+    norm = ("' ' || trim(regexp_replace(lower(txt), '[^\\p{L}\\p{M}]+', ' ', 'g'))"
             " || ' '")
     score_exprs = []
     for lang in langs:

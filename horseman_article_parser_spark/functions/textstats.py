@@ -13,11 +13,13 @@ Reference parity (behavior, not code):
     /root/reference/index.js:1399 (X8)
 - normalizeEntity = strip quotes, non-alnum→space, collapse, lower
     /root/reference/controllers/entityParser.js:83-90 (X1)
-- language detect = n-gram/stopword profile scoring with 'en' default
+- language detect = n-gram profile scoring with 'en' default
     /root/reference/controllers/language.js:26-46 (N1) — here a
-    marker-word profile model (franc-style trigram scoring distilled to
-    its decisive signal for our corpora), argmax with deterministic
-    alphabetical tie-break and 'en' fallback when no marker hits.
+    franc-style ranked-trigram model over 33 languages spanning 14
+    scripts (Latin, Cyrillic, Greek, Arabic, Hebrew, Devanagari,
+    Bengali, Tamil, Thai, Georgian, Armenian, Hangul, kana, Han),
+    argmax with deterministic alphabetical tie-break and 'eng'/'en'
+    fallback when no trigram hits.
 
 Scale notes: these run over `documents.text` at 100 TB as a single
 narrow projection — no shuffle, no UDF, fully pipelined into the scan.
@@ -32,15 +34,6 @@ from pyspark.sql import Column, DataFrame
 
 TOKEN_SPLIT_RE = r"\s+"
 
-# Marker-word profiles for language ID. Function words chosen to be
-# near-unique per language (the decisive trigrams franc would score).
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "de": ("der", "die", "und", "nicht", "ist", "das"),
-    "en": ("the", "and", "of", "is", "that", "with"),
-    "es": ("el", "la", "los", "que", "es", "una"),
-    "fr": ("le", "les", "des", "est", "que", "dans"),
-    "zh": ("的", "是", "了", "在", "我", "不"),
-}
 LANG_DEFAULT = "en"
 
 # ---------------------------------------------------------------------
@@ -59,48 +52,97 @@ LANG_DEFAULT = "en"
 # no UDF; identical arithmetic renders to the DuckDB oracle.
 
 LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "arb": (" ال", "الم", "في ", " في", "من ", " من", "على", " عل", "ية ",
+            "ات ", "ون ", " وا", "ها ", "ين ", "ب ا"),
+    "ben": ("ের ", "েয়", " কর", "রে ", "কে ", "য় ", " এব", "এবং", "বং ",
+            "ায় ", " দে", "দেখ", "াল ", " মা", "ষ "),
+    "ces": (" př", "pře", "ení", " ne", "ně ", "ost", " po", "ho ", " na",
+            "ou ", " je", "je ", "ých", "ční", "ře "),
+    "cmn": ("的", "是", "了", "在", "们", "这", "有", "大", "国", "中",
+            "上", "个", "不", "我", "市"),
     "deu": (" de", "der", "ein", "sch", "ich", "nde", "die", "und", "cht",
             "ung", "gen", " ge", "ver", "eit", " zu"),
     "ell": ("και", " κα", "αι ", "την", "τον", "της", " τη", "ος ", "το ",
             " το", "ου ", "ματ", "ικό", "ετα", "να "),
     "eng": (" th", "the", "he ", "ing", "ng ", "and", " an", " of", "of ",
             "ion", " to", "ed ", " in", "tha", "ent"),
+    "fas": (" می", "می ", "ای ", " از", "از ", "ده ", " که", "که ", "ند ",
+            " را", "را ", "ود ", "هی ", " سگ", "رد "),
+    "fin": ("ssa", "ssä", "en ", "in ", "lla", "sta", "aan", "een", "ksi",
+            " ja", "ja ", "ttä", "nen", "ist", "kki"),
     "fra": (" de", "de ", " le", "le ", "ent", "que", " qu", "les", "la ",
             " la", "ion", "eur", "ait", " et", "ous"),
+    "heb": (" ה", "ים ", "את ", " את", "של ", " של", "ות ", "ול ", " ב",
+            "ל ה", "ר ה", "ה ה", "ם ר", "עיר", " וא"),
+    "hin": ("के ", " के", "है ", " है", "की ", " की", "में", " मे", "ने ",
+            "ों ", "ता ", " और", "और ", "ार ", "से "),
+    "hun": ("gy ", "egy", " eg", "ek ", "tt ", " az", "az ", "nek", "ság",
+            "ett", "sze", " sz", "nak", "ban", " a "),
+    "hye": ("ում ", "ում", "ան ", "ակա", "կան", " մե", "եր ", "ող ", " որ",
+            "որտ", "ույ", "յուն", " շա", "ագու", "վրա"),
+    "ind": ("ang", "ng ", "yang", " ya", "kan", "di ", " di", "ber", "ata",
+            "ah ", "nya", " ke", " me", "lom", "ola"),
     "ita": (" di", "di ", "che", " ch", "la ", " la", "zio", "one", "lla",
             "del", " de", "ato", "re ", "gli", " co"),
     "jpn": ("した", "ます", "です", "ている", "である", "として", "こと", "それ",
             "ました", "ない", "れた", "など", "について", "という", "には"),
+    "kat": ("ის ", "ში ", "ება", " და", "და ", "ელი", "იან", "ზე ", "ქალ",
+            "ალა", "აქი", "ხალ", "ლი ", "რი ", " სა"),
+    "kor": ("는 ", "를 ", "이 ", "가 ", "에 ", "다 ", "니다", "고 ", "의 ",
+            "을 ", "에서", "있는", "람들", "사람", "그리"),
     "nld": (" de", "de ", "en ", "van", " va", "het", " he", "een", " ee",
             "ijk", "aar", "oor", "ver", "ing", " en"),
+    "nob": ("er ", "en ", " og", "og ", "det", "et ", " fo", "for", "til",
+            " ti", "ene", " på", "på ", "den", " den"),
     "pol": ("prz", "rze", "nie", " ni", "ego", " po", "ość", "ych", "owa",
             " pr", "ać ", "ie ", "cze", "ski", " w "),
     "por": (" de", "de ", "ção", "açã", " do", "do ", "da ", " da", "que",
             "ent", " co", "os ", "ara", " pa", "nto"),
+    "ron": ("ul ", "ui ", " în", "în ", "are", "ate", "ea ", "lor", " cu",
+            "ără", "și ", " și", "ește", "ulu", "mul"),
     "rus": (" пр", "про", "ого", "го ", " на", "на ", "ени", "ние", " по",
             "ост", "ств", "ать", "ть ", "ово", " не"),
     "spa": (" de", "de ", " la", "la ", "que", " qu", "el ", " el", "ión",
             "ció", "ado", "los", " lo", "ent", " en"),
     "swe": ("och", " oc", "ch ", "att", " at", "för", " fö", "det", " de",
             "som", " so", "ing", "en ", "and", "ät "),
+    "tam": ("ும் ", "கிற", "த்த", "ில் ", "ின் ", "மான", "ான ", " நா", "மேல",
+            "ட்ட", "று ", "கள்", "ல் ", "ரி ", "து "),
+    "tha": ("สุนัข", "และ", "ใน", "ี่", "ขี้", "ือ", "ของ", "ไม่", "ที่",
+            "การ", "เมือง", "ผู้", "คน", "ใหญ่", "มาก"),
+    "tur": ("lar", "ler", "ın ", "ve ", " ve", "bir", " bi", "den",
+            "nda", "ği ", "ır ", "üyü", "şeh", "ız ", "gör"),
+    "ukr": ("ає ", "ння", " що", "що ", "ть ", "ці ", "іст", " мі",
+            "ськ", "ому", "их ", "ів ", "при", " ве", "ько"),
+    "urd": (" ہے", "ہے ", "یں ", "تے ", "تی ", " کے", "کے ", "کی ", " کی",
+            "اور", " او", "ر ش", "وپر", " لو", "گ ا"),
+    "vie": ("ng ", " ng", "nh ", " nh", "on ", " co", "con", " và", "và ",
+            "ười", " qu", "ành", "phố", " ph", "rong"),
 }
 
 # the reference's ISO-639-3 → ISO-639-1 table (language.js:6-13), the
 # subset our profiles cover
 ISO3_TO_1: dict[str, str] = {
-    "deu": "de", "ell": "el", "eng": "en", "fra": "fr", "ita": "it",
-    "jpn": "ja", "nld": "nl", "pol": "pl", "por": "pt", "rus": "ru",
-    "spa": "es", "swe": "sv",
+    "arb": "ar", "ben": "bn", "ces": "cs", "cmn": "zh", "deu": "de",
+    "ell": "el", "eng": "en", "fas": "fa", "fin": "fi", "fra": "fr",
+    "heb": "he", "hin": "hi", "hun": "hu", "hye": "hy", "ind": "id",
+    "ita": "it", "jpn": "ja", "kat": "ka", "kor": "ko", "nld": "nl",
+    "nob": "no", "pol": "pl", "por": "pt", "ron": "ro", "rus": "ru",
+    "spa": "es", "swe": "sv", "tam": "ta", "tha": "th", "tur": "tr",
+    "ukr": "uk", "urd": "ur", "vie": "vi",
 }
 LANG_DEFAULT_ISO3 = "eng"
 
 
 def lang_normtext_col(text: Column | str) -> Column:
-    """' ' + lowercased letters-only text + ' ' (trigram counting base)."""
+    """' ' + lowercased letters+marks-only text + ' ' (trigram counting
+    base). Combining marks (\\p{M}) are KEPT: Indic vowel signs, Thai
+    tone marks and Arabic-script diacritics are load-bearing for those
+    languages' trigrams — franc likewise counts them as word chars."""
     c = F.col(text) if isinstance(text, str) else text
     return F.concat(
         F.lit(" "),
-        F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}]+", " ")),
+        F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{M}]+", " ")),
         F.lit(" "),
     )
 
@@ -390,42 +432,6 @@ def quality_cols(text: Column | str) -> dict[str, Column]:
         "alpha_ratio_x1e4": F.round(alpha_ratio * 10000).cast("long"),
         "quality_score": F.round(F.least(score, F.lit(100.0))).cast("long"),
     }
-
-
-# ----------------------------------------------------------- language
-
-
-def lang_score_col(text: Column | str, words: tuple[str, ...]) -> Column:
-    """Marker-profile score: count of tokens ∈ `words` (one filter pass)."""
-    marker_arr = F.array(*[F.lit(w) for w in words])
-    return F.size(
-        F.filter(tokens_col(text), lambda t: F.array_contains(marker_arr, t))
-    ).cast("long")
-
-
-def langid_col(text: Column | str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
-    """N1: marker-profile language ID. Scores = count of marker-word
-    tokens per language; winner = max score with alphabetical (earliest)
-    tie-break; all-zero → 'en' (the reference's default, language.js:44).
-
-    Tie-break trick: array_max over struct(score, -rank) picks the max
-    score and, on ties, the smallest rank (= alphabetically first lang) —
-    a single compact expression instead of a nested CASE fold (which
-    overflows janino whole-stage codegen at 5 languages × 6 markers)."""
-    m = markers or LANG_MARKERS
-    langs = sorted(m)
-    entries = [
-        F.struct(
-            lang_score_col(text, m[lang]).alias("score"),
-            F.lit(-i).alias("negrank"),
-        )
-        for i, lang in enumerate(langs)
-    ]
-    best = F.array_max(F.array(*entries))
-    winner = F.element_at(
-        F.array(*[F.lit(lang) for lang in langs]), -best["negrank"] + 1
-    )
-    return F.when(best["score"] > 0, winner).otherwise(F.lit(LANG_DEFAULT))
 
 
 # ---------------------------------------------------------- sentiment

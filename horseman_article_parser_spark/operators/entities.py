@@ -66,14 +66,79 @@ JOB_TITLE_MODIFIERS = set(
 SENTENCE_STARTERS = {"we", "our", "ours", "the", "this", "that", "these", "those", "however"}
 DISCOURSE_STARTERS = {"however", "meanwhile", "later", "moreover", "furthermore", "speaker"}
 
+# Full multi-word-country set (SO4), mirroring
+# /root/reference/controllers/entityParser.js:93-169: names are stored
+# normalized; prefixes are generated from them exactly like the
+# reference's MULTI_WORD_COUNTRY_PREFIXES loop (every proper prefix of
+# every name), so a buffered scan knows whether a partial match can
+# still extend.
+_MULTI_WORD_COUNTRY_RAW = (
+    "United States", "United States of America", "United Kingdom",
+    "United Arab Emirates", "New Zealand", "New Caledonia",
+    "Papua New Guinea", "Equatorial Guinea", "Guinea Bissau",
+    "Guinea-Bissau", "Czech Republic", "Dominican Republic",
+    "Central African Republic", "Democratic Republic of the Congo",
+    "Republic of the Congo", "South Africa", "South Korea", "South Sudan",
+    "North Korea", "Saudi Arabia", "Costa Rica", "Sierra Leone",
+    "Ivory Coast", "Cote d'Ivoire", "El Salvador", "San Marino",
+    "Sri Lanka", "Trinidad and Tobago", "Trinidad y Tobago",
+    "Antigua and Barbuda", "Antigua y Barbuda", "Bosnia and Herzegovina",
+    "Marshall Islands", "Solomon Islands", "Cabo Verde", "Cape Verde",
+    "Saint Kitts and Nevis", "Saint Lucia",
+    "Saint Vincent and the Grenadines", "Federated States of Micronesia",
+    "Micronesia", "Timor Leste", "East Timor", "Western Sahara",
+    "Puerto Rico", "Hong Kong", "Northern Ireland", "American Samoa",
+    "French Polynesia", "Cayman Islands", "Faroe Islands", "Cook Islands",
+    "Vatican City", "Holy See", "State of Palestine",
+    "Palestinian Territories", "Sao Tome and Principe", "Saint Barthelemy",
+    "Saint Pierre and Miquelon", "Wallis and Futuna",
+    "Turks and Caicos Islands", "British Virgin Islands",
+    "United States Virgin Islands", "Isle of Man",
+    "Bonaire Sint Eustatius and Saba", "Sint Maarten", "Saint Martin",
+)
+
+# single-word countries for the country-tag stand-in (the reference gets
+# these from compromise's #Country tags)
+_SINGLE_COUNTRIES = {
+    "france", "germany", "spain", "italy", "china", "japan", "russia",
+    "india", "canada", "australia", "brazil", "mexico", "portugal",
+    "poland", "sweden", "norway", "finland", "ukraine", "turkey", "egypt",
+    "kenya", "nigeria", "argentina", "chile", "peru", "colombia",
+    "indonesia", "malaysia", "thailand", "vietnam", "pakistan",
+    "bangladesh", "iran", "iraq", "israel", "jordan", "qatar", "kuwait",
+    "oman", "greece", "austria", "belgium", "denmark", "switzerland",
+    "netherlands", "ireland", "scotland", "wales", "england",
+}
+
+KNOWN_PLACE_PHRASES = {"white house", "palestinian authority", "hamas authority"}
+
+
+def _norm_simple(s: str) -> str:
+    import re as _re
+
+    out = _re.sub(r"['’]", "", s)
+    out = _re.sub(r"[^A-Za-z0-9À-þ]+", " ", out)
+    return out.strip().lower()
+
+
+MULTI_WORD_COUNTRY_NAMES = {_norm_simple(n) for n in _MULTI_WORD_COUNTRY_RAW}
+MULTI_WORD_COUNTRY_PREFIXES: set[str] = set()
+for _name in MULTI_WORD_COUNTRY_NAMES:
+    _toks = _name.split()
+    for _i in range(1, len(_toks)):
+        MULTI_WORD_COUNTRY_PREFIXES.add(" ".join(_toks[:_i]))
+
+# tokens that may participate in a country name — the deterministic
+# stand-in for compromise's per-term #Country tag
+COUNTRY_TOKENS = _SINGLE_COUNTRIES | {
+    tok for name in MULTI_WORD_COUNTRY_NAMES for tok in name.split()
+}
+
 # small built-in gazetteers (broadcastable; extensible via args)
 PLACES = {
     "paris", "london", "madrid", "berlin", "rome", "tokyo", "moscow", "beijing",
-    "new york", "new zealand", "united states", "united kingdom", "france",
-    "germany", "spain", "italy", "china", "japan", "russia", "india", "canada",
-    "australia", "brazil", "mexico", "glasgow", "scotland", "wales", "ireland",
-    "europe", "asia", "africa", "america",
-}
+    "new york", "glasgow", "europe", "asia", "africa", "america",
+} | _SINGLE_COUNTRIES | MULTI_WORD_COUNTRY_NAMES | KNOWN_PLACE_PHRASES
 ORGS = {
     "google", "microsoft", "apple", "amazon", "facebook", "meta", "cisco",
     "cisco meraki", "slack", "example corp", "ofgem", "nasa", "bbc", "reuters",
@@ -139,10 +204,31 @@ def _trim_sentence_starter_tail(words: list[str]) -> list[str]:
     return words
 
 
+# connector-bearing country names ('Bosnia and Herzegovina', 'Isle of
+# Man') would be broken by the capitalization grammar (lowercase
+# and/of/the/y end a run) — protect them with a word-joiner before run
+# extraction, restore the space at token time. Case-sensitive patterns
+# over the canonical surfaces avoid false hits.
+_COUNTRY_CONNECTOR_PATTERNS = [
+    re.compile(r"\b" + r"\s+".join(re.escape(t) for t in raw.split()) + r"\b")
+    for raw in _MULTI_WORD_COUNTRY_RAW
+    if any(t.islower() for t in raw.split())
+]
+_JOINER = "⁠"
+
+
+def _protect_country_connectors(text: str) -> str:
+    for pat in _COUNTRY_CONNECTOR_PATTERNS:
+        if pat.search(text):
+            text = pat.sub(lambda m: m.group(0).replace(" ", _JOINER), text)
+    return text
+
+
 def _cap_runs(text: str, hints: dict | None) -> list[list[str]]:
     """Maximal runs of capitalized tokens (with initials and hyphenated
     parts), split on list commas."""
     runs: list[list[str]] = []
+    text = _protect_country_connectors(text)
     for segment in re.split(r"[,;:()\[\]]| and | or ", text):
         current: list[str] = []
 
@@ -154,6 +240,15 @@ def _cap_runs(text: str, hints: dict | None) -> list[list[str]]:
 
         for m in _TOKEN_RE.finditer(segment):
             tok = m.group(0)
+            if _JOINER in tok:
+                # protected multi-word country: one run element with the
+                # original spaces restored
+                restored = tok.replace(_JOINER, " ")
+                bare = restored.strip(".,;:!?\"“”")
+                current.append(restored.strip(",;:!?\"“”"))
+                if tok.rstrip("\"'”’").endswith((".", "!", "?")):
+                    close()
+                continue
             bare = tok.strip(".,;:!?\"“”")
             if _CAP_WORD_RE.match(bare) or _INITIAL_RE.match(bare):
                 current.append(tok.strip(",;:!?\"“”"))
@@ -327,6 +422,49 @@ def _split_likely_name_runs(words: list[str], first_hints: set[str],
     return out
 
 
+def split_country_sequence(words: list[str]) -> list[str] | None:
+    """splitCountrySequence (entityParser.js:1106-1148): split a run of
+    country-tagged words into country names, keeping multi-word names
+    together — buffer while the current chunk is a proper prefix of a
+    multi-word country (or extending with the next tagged word forms
+    one), flush otherwise. Returns None unless >1 groups result, like
+    the reference. Country-tagging is the deterministic COUNTRY_TOKENS
+    stand-in for compromise's #Country tags."""
+    groups: list[str] = []
+    buffer: list[str] = []
+
+    def tagged(w: str) -> bool:
+        n = normalize_entity(w)
+        return n in COUNTRY_TOKENS or n in MULTI_WORD_COUNTRY_NAMES
+
+    def flush() -> None:
+        if buffer:
+            cand = " ".join(buffer).strip()
+            if cand:
+                groups.append(cand)
+            buffer.clear()
+
+    n = len(words)
+    for i, w in enumerate(words):
+        if not tagged(w):
+            flush()
+            continue
+        buffer.append(w)
+        norm_buf = normalize_entity(" ".join(buffer))
+        nxt = next((j for j in range(i + 1, n) if tagged(words[j])), None)
+        if nxt is None:
+            flush()
+            continue
+        norm_with_next = normalize_entity(" ".join([*buffer, words[nxt]]))
+        if norm_with_next and norm_with_next in MULTI_WORD_COUNTRY_NAMES:
+            continue
+        if norm_buf and norm_buf in MULTI_WORD_COUNTRY_PREFIXES:
+            continue
+        flush()
+    flush()
+    return groups if len(groups) > 1 else None
+
+
 def extract_entities(text: str | None, hints: dict | None = None) -> dict:
     """Per-document kernel → {people, places, orgs, topics} (each a
     first-occurrence-deduped list of cleaned entity strings)."""
@@ -385,6 +523,23 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
             add(orgs, phrase, seen_o)
             add(topics, phrase, seen_t)
             continue
+        # SO4: a pure country sequence in one capitalized run splits
+        # into its country names (splitCountrySequence keeps multi-word
+        # names whole via the prefix set — "United Arab Emirates South
+        # Korea" → two places, never five)
+        if all(
+            normalize_entity(w) in COUNTRY_TOKENS
+            or normalize_entity(w) in MULTI_WORD_COUNTRY_NAMES
+            for w in words
+        ):
+            seq = split_country_sequence(words)
+            if seq is not None and all(
+                normalize_entity(s) in places_gaz for s in seq
+            ):
+                for s in seq:
+                    add(places, s, seen_pl)
+                    add(topics, s, seen_t)
+                continue
         # person path: strip job-title tail, normalize initials
         words = _trim_job_title_tail(words)
         # W10: a >=4-word run of name-pattern words segments into 2-4

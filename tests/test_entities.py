@@ -159,3 +159,34 @@ def test_hint_cross_product_substring_search():
     assert all("Ada hopper" != p and "Grace lovelace" != p for p in got)
     # without hints the lowercase names are invisible
     assert extract_entities(text, {})["people"] == []
+
+
+def test_country_sequence_split_and_prefixes():
+    """SO4 (entityParser.js:93-169,1106-1148): the full multi-word
+    country set keeps names whole while sequences of countries split."""
+    from horseman_article_parser_spark.operators.entities import (
+        extract_entities,
+        split_country_sequence,
+    )
+
+    # prefix buffering keeps 'Papua New Guinea' together
+    assert split_country_sequence(["Papua", "New", "Guinea", "India"]) == [
+        "Papua New Guinea", "India",
+    ]
+    assert split_country_sequence(
+        ["United", "Arab", "Emirates", "South", "Korea"]
+    ) == ["United Arab Emirates", "South Korea"]
+    # a single group is not a split (reference returns null)
+    assert split_country_sequence(["South", "Korea"]) is None
+    # non-tagged word breaks the buffer and is dropped from groups
+    assert split_country_sequence(["France", "Summit", "Germany"]) == [
+        "France", "Germany",
+    ]
+
+    got = extract_entities(
+        "The United Arab Emirates South Korea talks continued."
+    )
+    assert got["places"] == ["United Arab Emirates", "South Korea"]
+    # a full multi-word name on its own classifies via the gazetteer
+    got2 = extract_entities("Officials from Bosnia and Herzegovina spoke.")
+    assert "Bosnia" not in got2["people"]
