@@ -593,6 +593,7 @@ def q_text_quality(spark, sf_dir):
         "doc_id",
         *[c.alias(n) for n, c in rcols.items()],
         TS.occurrences_col("text", "the").alias("n_the"),
+        TS.bpe_token_count_col("text").alias("n_bpe_tokens"),
         qcols["stopword_hits"].alias("stopword_hits"),
         qcols["alpha_ratio_x1e4"].alias("alpha_ratio_x1e4"),
         qcols["quality_score"].alias("quality_score"),
@@ -685,9 +686,14 @@ def q_langid(spark, sf_dir):
         F.array(*[F.lit(LANG_SAMPLES[lang]) for lang in langs]),
         (F.col("doc_id") % len(langs)).cast("int") + 1,
     )
-    base = docs.select("doc_id", sample.alias("txt"))
-    st = TS.langid_struct_col("txt")
-    scores = TS.trigram_lang_scores("txt")
+    # materialize the normalized text ONCE: scoring 33 profiles against
+    # an inlined normalization repeats its regexp subtree ~1000× and
+    # kicks the plan out of codegen (see trigram_lang_scores docstring)
+    base = docs.select("doc_id", sample.alias("txt")).withColumn(
+        "_nt", TS.lang_normtext_col("txt")
+    )
+    st = TS.langid_struct_col(F.col("_nt"), prenormalized=True)
+    scores = TS.trigram_lang_scores(F.col("_nt"), prenormalized=True)
     best = F.greatest(*scores.values())
     return base.select(
         "doc_id",
@@ -703,8 +709,10 @@ def q_sentiment(spark, sf_dir):
     aggregation path's score as `score_join` — both implementations
     driver-checked in one row, and their agreement is itself pinned."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    cols = TS.sentiment_cols(F.col("text"))
-    inline = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    # materialize the token array once (see sentiment_cols docstring)
+    toked = docs.withColumn("_toks", TS.tokens_col("text"))
+    cols = TS.sentiment_cols(F.col("_toks"), pretokenized=True)
+    inline = toked.select("doc_id", *[c.alias(n) for n, c in cols.items()])
     joined = TS.sentiment_via_join(docs).select(
         "doc_id", F.col("sentiment_score").alias("score_join")
     )
@@ -2319,6 +2327,7 @@ SELECT doc_id, characters, words,
                                      x -> trim(x) <> '')), 1) AS BIGINT) AS paragraphs,
        CAST(round({TOKCOUNT_SQL} / 200.0 * 60.0) AS BIGINT) AS reading_time,
        {occ_sql('text', 'the')} AS n_the,
+       CAST(len(regexp_extract_all(text, '{TS.BPE_TOKEN_RE.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
        stopword_hits,
        CAST(round(ar * 10000) AS BIGINT) AS alpha_ratio_x1e4,
        CAST(round(least(

@@ -156,11 +156,19 @@ def _trigram_count(norm: Column, tg: str) -> Column:
 
 
 def trigram_lang_scores(text: Column | str,
-                        profiles: dict[str, tuple[str, ...]] | None = None
-                        ) -> dict[str, Column]:
-    """Per-language trigram scores (pure Column algebra)."""
+                        profiles: dict[str, tuple[str, ...]] | None = None,
+                        prenormalized: bool = False) -> dict[str, Column]:
+    """Per-language trigram scores (pure Column algebra).
+
+    prenormalized=True means `text` is ALREADY the lang_normtext_col
+    output, materialized as a real column. Callers scoring many
+    profiles should do that: inlining the normalization repeats its
+    regexp subtree once per trigram count (2 × Σ|profiles| times),
+    which blows the expression past whole-stage codegen's method-size
+    limit and forces interpreted re-evaluation of the regexp per
+    occurrence — measured 4× slower at 33 profiles."""
     p = profiles or LANG_TRIGRAMS
-    norm = lang_normtext_col(text)
+    norm = _c(text) if prenormalized else lang_normtext_col(text)
     out: dict[str, Column] = {}
     for lang, tgs in p.items():
         k = len(tgs)
@@ -173,14 +181,15 @@ def trigram_lang_scores(text: Column | str,
 
 
 def langid_struct_col(text: Column | str,
-                      profiles: dict[str, tuple[str, ...]] | None = None
-                      ) -> Column:
+                      profiles: dict[str, tuple[str, ...]] | None = None,
+                      prenormalized: bool = False) -> Column:
     """N1 full output: struct(iso6391, iso6393) like the reference's
     detectLanguage (language.js:26-46). Winner = max trigram score,
-    alphabetical iso6393 tie-break, all-zero → eng/en."""
+    alphabetical iso6393 tie-break, all-zero → eng/en. See
+    trigram_lang_scores on prenormalized."""
     p = profiles or LANG_TRIGRAMS
     langs = sorted(p)
-    scores = trigram_lang_scores(text, p)
+    scores = trigram_lang_scores(text, p, prenormalized=prenormalized)
     entries = [
         F.struct(scores[lang].alias("score"), F.lit(-i).alias("negrank"))
         for i, lang in enumerate(langs)
@@ -437,18 +446,26 @@ def quality_cols(text: Column | str) -> dict[str, Column]:
 # ---------------------------------------------------------- sentiment
 
 
-def sentiment_cols(text: Column | str, lexicon: dict[str, int] | None = None) -> dict[str, Column]:
+def sentiment_cols(text: Column | str, lexicon: dict[str, int] | None = None,
+                   pretokenized: bool = False) -> dict[str, Column]:
     """A10: AFINN token-sum without exploding — occurrence-count × score
     per lexicon word (identical result to explode+join for whole-word
     tokens, and shuffle-free). comparative = score / token_count.
-    Label quirk preserved: Neutral only at comparative == 0.05 exactly."""
+    Label quirk preserved: Neutral only at comparative == 0.05 exactly.
+
+    pretokenized=True means `text` is already the tokens_col output
+    materialized as a column — callers should do that: inlining the
+    split once per lexicon word keeps the whole projection out of
+    codegen and re-splits the text |lexicon|+1 times per row."""
     lex = lexicon or AFINN_MINI
-    t = _c(text)
+    toks = _c(text) if pretokenized else tokens_col(text)
     score = None
     for w in sorted(lex):
-        contrib = occurrences_col(t, w) * F.lit(lex[w])
+        contrib = F.size(
+            F.filter(toks, lambda t: t == F.lit(w))
+        ).cast("long") * F.lit(lex[w])
         score = contrib if score is None else score + contrib
-    n = token_count_col(t)
+    n = F.size(toks)
     comparative = F.when(n > 0, score.cast("double") / n).otherwise(F.lit(0.0))
     label = (
         F.when(comparative > 0.05, F.lit("Positive"))
@@ -502,6 +519,23 @@ def normalize_text_col(text: Column | str) -> Column:
 def fingerprint_col(text: Column | str) -> Column:
     """Exact-dup fingerprint: md5 of normalized text (portable)."""
     return F.md5(normalize_text_col(text))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB): no lookahead, leftmost-first
+# alternation in the same order on both engines. Branches: contraction
+# suffixes, space+letters, space+digits, space+other, whitespace runs.
+BPE_TOKEN_RE = r"'[a-zA-Z]{1,2}| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_col(text: Column | str) -> Column:
+    """LLM-pipeline token counting: GPT-style pre-tokenizer match count
+    (an upper-bound proxy for BPE token counts — every BPE token is a
+    piece of exactly one pre-token). Pure Column expression; the DuckDB
+    twin is len(regexp_extract_all(text, same_pattern))."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+        "long"
+    )
 
 
 def bag_fingerprint_col(text: Column | str) -> Column:

@@ -46,13 +46,14 @@ EXPECTATIONS = {
     "domain_rules_join": [
         ("Broadcast", "rules table must broadcast, never shuffle the frontier"),
     ],
-    # sentiment lexicon join: broadcast the lexicon
-    "sentiment_join": [
+    # sentiment lexicon join path (folded into `sentiment`): broadcast
+    # the lexicon
+    "sentiment": [
         ("BroadcastHashJoin", "AFINN lexicon must broadcast"),
     ],
-    # minhash: exactly ONE exchange (the groupBy on doc_id); partial
-    # aggregation map-side
-    "minhash_signatures": [
+    # minhash (folded into minhash_lsh): ONE data exchange (the groupBy
+    # on doc_id); partial aggregation map-side
+    "minhash_lsh": [
         ("partial_min", "map-side partial mins before the shuffle"),
     ],
     # pricing summary: partial agg + single shuffle
@@ -67,8 +68,8 @@ EXPECTATIONS = {
 }
 
 FORBIDDEN = {
-    "url_skip_filter": [("Exchange", "pure per-row predicate must not shuffle")],
-    "url_canonicalize": [("Exchange", "pure per-row canonicalization must not shuffle")],
+    "url_filters": [("Exchange", "pure per-row predicates must not shuffle")],
+    "url_transforms": [("Exchange", "pure per-row transforms must not shuffle")],
     "extract_title": [
         ("SortMergeJoin", "tiny synth join must broadcast, not SMJ"),
     ],
@@ -141,10 +142,10 @@ def main() -> int:
         print(f"{'PASS' if ok else 'FAIL'} {name}: no partition-less window"
               + ("" if ok else f" -> {hits[0]}"))
         failures += 0 if ok else 1
-    # column pruning spot check: token_count must read ONLY doc_id+text
-    plan = plan_of(queries["token_count"](spark, sf_dir))
-    pruned = "ReadSchema" in plan and "n_chars" not in plan.split("ReadSchema", 1)[1][:400]
-    print(f"{'PASS' if pruned else 'FAIL'} token_count: scan prunes unused columns")
+    # column pruning spot check: text_quality must read ONLY doc_id+text
+    plan = plan_of(queries["text_quality"](spark, sf_dir))
+    pruned = "ReadSchema" in plan and "lang" not in plan.split("ReadSchema", 1)[1][:400]
+    print(f"{'PASS' if pruned else 'FAIL'} text_quality: scan prunes unused columns")
     failures += 0 if pruned else 1
     print(f"\n{failures} failed expectations")
     return 1 if failures else 0

@@ -101,3 +101,25 @@ def test_trigram_langid_empty_defaults_to_english(spark):
     df = spark.createDataFrame([("",), ("12345 67890",)], ["txt"])
     for r in df.select(langid_struct_col("txt").alias("lid")).collect():
         assert r["lid"]["iso6393"] == "eng" and r["lid"]["iso6391"] == "en"
+
+
+def test_bpe_token_count_pretokenizer(spark):
+    """GPT-style pre-token match count: contractions split off, leading
+    spaces attach to the following word, punctuation runs are one
+    token."""
+    from horseman_article_parser_spark.functions.textstats import (
+        bpe_token_count_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "It's 2024, isn't it?!"), (2, ""), (3, "hello   world")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n for r in docs.select(
+        "doc_id", bpe_token_count_col("text").alias("n")).collect()}
+    # "It" "'s" " 2024" "," " isn" "'t" " it" "?!" -> 8
+    assert got[1] == 8
+    assert got[2] == 0
+    # "hello" "  " (ws run collapses into the next branch: " world"
+    # takes one leading space, the rest is a ws token) -> 3
+    assert got[3] == 3
