@@ -1244,10 +1244,12 @@ def _probe_status(url: str) -> int:
     return 404 if d % 7 == 0 else (405 if d % 7 == 1 else 200)
 
 
-def q_http_probe(spark, sf_dir):
-    """S5 HTTP probe (httpProbe, batch-sample-run.js:34-57): preflight
-    status per URL with the 405-means-fetch-anyway rule. Exact oracle
-    by construction."""
+def q_probe_canonical(spark, sf_dir):
+    """S5 HTTP probe (httpProbe, batch-sample-run.js:34-57: preflight
+    status with the 405-means-fetch-anyway rule) + S8 canonical
+    re-fetch chain, one row per doc (both operate on the same
+    synthesized fetch world; joined on doc_id). Exact oracle by
+    construction for every column."""
     from horseman_article_parser_spark.operators.probe import probe_urls
 
     spark = _prep(spark)
@@ -1258,10 +1260,14 @@ def q_http_probe(spark, sf_dir):
         F.concat(F.lit("https://probe.example/page/"), d).alias("url"),
     )
     fr = fr.repartition(fr.sparkSession.sparkContext.defaultParallelism)
-    return probe_urls(fr, _probe_status).select("doc_id", "url", "status", "ok")
+    probed = probe_urls(fr, _probe_status).select("doc_id", "url", "status", "ok")
+    canon = _canonical_refetch_df(spark, sf_dir).select(
+        "doc_id", "used", "n_entries", "first_para", "synth_html"
+    )
+    return probed.join(canon, "doc_id")
 
 
-def q_canonical_refetch(spark, sf_dir):
+def _canonical_refetch_df(spark, sf_dir):
     """S8 empty-content fallback chain (index.js:1243-1336): docs%3==0
     are rich (no rescue), %3==1 are thin WITH rel=canonical (rescued —
     synthesized live-summary from the canonical page), %3==2 are thin
@@ -1767,6 +1773,91 @@ def q_image_features(spark, sf_dir):
     )
 
 
+AV_AUDIO_N = 64
+AV_VIDEO_N = 32
+
+
+def q_av_features(spark, sf_dir):
+    """Audio + video payload features in one union surface: audio rows
+    carry the PCM-decoded RMS (scaled bigint), video rows the first
+    sampled frame's pHash — both decoded by the REAL pure-python
+    WAV/HVID codecs inside mapInPandas (bytes never reach the JVM). The
+    oracle replays the deterministic datagen + identical arithmetic
+    driver-side and inlines exact expected VALUES (same pattern as
+    image_near_dups)."""
+    from horseman_article_parser_spark.datagen.av import (
+        build_audio_table,
+        build_videos_table,
+    )
+    from horseman_article_parser_spark.operators.multimodal import (
+        audio_features,
+        sample_frames,
+    )
+
+    spark = _prep(spark)
+    audio = audio_features(build_audio_table(spark, AV_AUDIO_N)).select(
+        F.lit("audio").alias("kind"),
+        F.col("clip_id").alias("media_id"),
+        F.col("n_samples").cast("long").alias("n_units"),
+        "duration_ms",
+        F.col("rms_x1e2").alias("sig"),
+        "decode_ok",
+    )
+    vids = build_videos_table(spark, AV_VIDEO_N)
+    f0 = sample_frames(vids, every_n=1_000_000)  # frame 0 only
+    video = f0.join(
+        vids.select("video_id", "n_frames", "fps"), "video_id"
+    ).select(
+        F.lit("video").alias("kind"),
+        F.col("video_id").alias("media_id"),
+        F.col("n_frames").cast("long").alias("n_units"),
+        F.round(F.col("n_frames") * 1000 / F.col("fps")).cast("long")
+        .alias("duration_ms"),
+        F.col("frame_phash").alias("sig"),
+        F.lit(True).alias("decode_ok"),
+    )
+    return audio.unionByName(video)
+
+
+def _av_features_sql() -> str:
+    """Exact expected rows, computed by replaying the deterministic
+    datagen with the SAME arithmetic the kernels use."""
+    import numpy as _np
+
+    from horseman_article_parser_spark.codecs.images import phash64
+    from horseman_article_parser_spark.datagen.av import (
+        clip_id_for,
+        synth_audio,
+        synth_frame,
+        video_id_for,
+        video_params,
+    )
+
+    rows = []
+    for i in range(AV_AUDIO_N):
+        samples, sr, _, _ = synth_audio(i)
+        mono = samples.astype(_np.float64)
+        rms = float(_np.sqrt(_np.mean(mono * mono)))
+        rows.append(
+            ("audio", clip_id_for(i), len(samples),
+             round(len(samples) * 1000 / sr), round(rms * 100)),
+        )
+    for i in range(AV_VIDEO_N):
+        w, h, fps, n = video_params(i)
+        ph = phash64(synth_frame(i, 0, w, h))
+        rows.append(("video", video_id_for(i), n, round(n * 1000 / fps), ph))
+    values = ", ".join(
+        f"('{k}', '{m}', CAST({n} AS BIGINT), CAST({d} AS BIGINT), "
+        f"CAST({s} AS BIGINT), TRUE)"
+        for k, m, n, d, s in rows
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS t(kind, media_id, n_units, duration_ms, sig, decode_ok)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1817,8 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detector / training (A6/A11, W1-W4, X18/X19/X24, S5/S8)
         "content_candidates": q_content_candidates,
         "detect_container": q_detect_container,
-        "canonical_refetch": q_canonical_refetch,
-        "http_probe": q_http_probe,
+        "probe_canonical": q_probe_canonical,
         "reranker_train": q_reranker_train,
         # dedup (training-pipeline ops)
         "dedup_exact": q_dedup_exact,
@@ -1835,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal payload
         "image_features": q_image_features,
         "image_near_dups": q_image_near_dups,
+        "av_features": q_av_features,
         # streaming metrics + stateful crawl (A1/A3/T7; S6/T6 rows-only)
         "windowed_metrics": q_windowed_metrics,
         "crawl_two_rounds": q_crawl_two_rounds,
@@ -2465,6 +2556,7 @@ FROM documents
 """.strip(),
         "image_features": _image_features_sql(),
         "image_near_dups": _image_near_dups_sql(),
+        "av_features": _av_features_sql(),
         "ivf_topk": """
 WITH cent AS (
   SELECT CAST(vec_id // 31 AS INT) AS cluster, embedding::DOUBLE[] AS cv
@@ -2512,15 +2604,11 @@ SELECT query_id, neighbor_id, rank,
        CAST(round(cos * 1000000) AS BIGINT) AS cosine_x1e6
 FROM r WHERE rank <= 8
 """.strip(),
-        "http_probe": """
+        "probe_canonical": f"""
 SELECT doc_id,
        'https://probe.example/page/' || doc_id AS url,
        (CASE doc_id % 7 WHEN 0 THEN 404 WHEN 1 THEN 405 ELSE 200 END) AS status,
-       (doc_id % 7 <> 0) AS ok
-FROM documents
-""".strip(),
-        "canonical_refetch": f"""
-SELECT doc_id,
+       (doc_id % 7 <> 0) AS ok,
        (doc_id % 3 = 1) AS used,
        (CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 0 END) AS n_entries,
        (CASE WHEN doc_id % 3 = 0

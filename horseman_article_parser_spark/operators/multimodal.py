@@ -12,11 +12,12 @@ payload is a first-class column and the per-row invariant is decoded-
 pixel PSNR≥40dB + caption equality (verified in tests/test_images_table.py
 and tests/test_multimodal.py).
 
-Decode dispatch is real numpy for the engine's PNG/QJPG containers;
-JPEG/WebP/audio/video entropy decoding is STUBBED behind
-NotImplementedError (no image/audio libs in this container) — the Spark
-plumbing (schema, Arrow batch shape, partitioning, UDF signature) is the
-real, tested artifact.
+Decode dispatch is real numpy for the engine's PNG/QJPG containers,
+PCM WAV audio, and the HVID frame container (all implementable without
+codec libraries); compressed-format entropy decoding (JPEG SOI, mp3,
+h264) is STUBBED behind NotImplementedError — the Spark plumbing
+(schema, Arrow batch shape, partitioning, UDF signature) is identical
+either way and fully tested.
 
 Scale rules encoded here:
 - `bytes` never enters a shuffle: kernels run as narrow `mapInPandas`
@@ -155,39 +156,98 @@ def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 6,
     )
 
 
-# ----------------------------------------------------------- stubs
+# ------------------------------------------------------- audio / video
+#
+# WAV/PCM and the HVID frame container need no codec libraries, so the
+# decode below is REAL (codecs.audio / codecs.video); only compressed
+# formats (mp3/h264/...) remain NotImplementedError stubs — the codec
+# modules raise on their magics.
 
 
-AUDIO_FEATURE_SCHEMA = "`clip_id` string, `duration_s` double, `rms` double"
-FRAME_SAMPLE_SCHEMA = "`video_id` string, `frame_idx` int, `frame` binary"
+AUDIO_FEATURE_SCHEMA = (
+    "`clip_id` string, `sr` int, `n_samples` int, `duration_ms` bigint, "
+    "`rms_x1e2` bigint, `peak` int, `zero_crossings` bigint, "
+    "`decode_ok` boolean"
+)
+FRAME_SAMPLE_SCHEMA = (
+    "`video_id` string, `frame_idx` int, `w` int, `h` int, "
+    "`frame_phash` bigint, `frame` binary"
+)
 
 
 def audio_features(clips: DataFrame) -> DataFrame:
-    """STUB: audio decode needs codec libs absent from this container.
-    The plumbing (binary column → Arrow batch → feature row) is real and
-    mirrors `image_features`; the kernel raises on first batch."""
+    """Audio decode + feature extraction (duration, RMS, peak,
+    zero-crossing count) over PCM WAV payloads — one Arrow crossing,
+    `bytes` dies inside the stage; floats are emitted pre-scaled to
+    bigint so the whole output is hash-stable."""
+    from ..codecs.audio import decode_wav
+
     src = clips.select(F.col("clip_id"), F.col("bytes"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _ in batches:
-            raise NotImplementedError(
-                "audio decode requires codec libraries not in this container"
-            )
-        yield pd.DataFrame(columns=["clip_id", "duration_s", "rms"])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for cid, data in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    samples, sr = decode_wav(bytes(data))
+                except Exception:
+                    rows.append(
+                        {"clip_id": cid, "sr": 0, "n_samples": 0,
+                         "duration_ms": 0, "rms_x1e2": 0, "peak": 0,
+                         "zero_crossings": 0, "decode_ok": False}
+                    )
+                    continue
+                mono = samples[:, 0].astype(np.float64)
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
+                zc = int(np.count_nonzero(np.diff(np.signbit(mono)))) if n > 1 else 0
+                rows.append(
+                    {
+                        "clip_id": cid,
+                        "sr": sr,
+                        "n_samples": n,
+                        "duration_ms": round(n * 1000 / sr) if sr else 0,
+                        "rms_x1e2": round(rms * 100),
+                        "peak": int(np.max(np.abs(mono))) if n else 0,
+                        "zero_crossings": zc,
+                        "decode_ok": True,
+                    }
+                )
+            yield pd.DataFrame(rows)
 
     return src.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)
 
 
-def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: video demux/decode absent from this container; signature,
-    schema and batch shape are the real contract."""
+def sample_frames(videos: DataFrame, every_n: int = 30,
+                  with_pixels: bool = False) -> DataFrame:
+    """Frame sampling: demux the container, decode every `every_n`-th
+    frame, emit its metadata + pHash (and the PNG-encoded pixels when
+    with_pixels=True — default off so the narrow feature path never
+    ships frame bytes back to the JVM)."""
+    from ..codecs.images import encode_png
+    from ..codecs.video import decode_frames
+
     src = videos.select(F.col("video_id"), F.col("bytes"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _ in batches:
-            raise NotImplementedError(
-                "video frame sampling requires codec libraries not in this container"
-            )
-        yield pd.DataFrame(columns=["video_id", "frame_idx", "frame"])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                for idx, px in decode_frames(bytes(data), every_n):
+                    rows.append(
+                        {
+                            "video_id": vid,
+                            "frame_idx": idx,
+                            "w": px.shape[1],
+                            "h": px.shape[0],
+                            "frame_phash": phash64(px),
+                            "frame": encode_png(px) if with_pixels else None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
 
     return src.mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
