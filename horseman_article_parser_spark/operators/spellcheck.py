@@ -64,7 +64,8 @@ def normalize_entity_col(s: Column) -> Column:
 
 
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", positions: bool = False) -> DataFrame:
+               text_col: str = "text", positions: bool = False,
+               carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """(doc, line, word_idx, word) after the reference pre-pass; words
     are stripped of edge punctuation and lowercased for dictionary
     probing (original kept as `word`).
@@ -75,21 +76,26 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
     inside a line, the line break between lines) is exactly one char
     after the masking pre-pass, so one doc-ordered window gives the
     global offset and a (doc, line) window (satisfied by the same
-    exchange) gives the in-line column."""
+    exchange) gives the in-line column.
+
+    `carry_cols` are copied through the explode (e.g. a per-doc language
+    column) — cheaper at scale than joining the narrow per-doc table
+    back onto the exploded tokens."""
+    carry = [F.col(c) for c in carry_cols]
     lines = docs.select(
-        F.col(id_col),
+        F.col(id_col), *carry,
         F.posexplode(F.split(mask_urls_col(text_col), "\n")).alias("_ln", "_line"),
     )
     arr = F.split(F.col("_line"), " ")
     if not positions:
         toks = lines.select(
-            F.col(id_col),
+            F.col(id_col), *carry,
             (F.col("_ln") + 1).alias("line"),
             F.posexplode(F.filter(arr, lambda w: w != "")).alias("word_idx", "_raw"),
         )
         word = F.regexp_replace(F.col("_raw"), r"^[^A-Za-z]+|[^A-Za-z]+$", "")
         return toks.select(
-            F.col(id_col), "line", "word_idx",
+            F.col(id_col), *carry, "line", "word_idx",
             word.alias("word"), F.lower(word).alias("word_lc"),
         ).filter(F.col("word") != "")
     # positions path: explode UNFILTERED so empty tokens (a collapsed
@@ -97,7 +103,7 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
     # filtered token ordinal is _rp minus the leading-empty marker
     # (interior empties are impossible after the space collapse).
     toks = lines.select(
-        F.col(id_col),
+        F.col(id_col), *carry,
         (F.col("_ln") + 1).alias("line"),
         F.when(F.try_element_at(arr, F.lit(1)) == "", F.lit(1))
         .otherwise(F.lit(0)).alias("_lead"),
@@ -119,7 +125,7 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
     strip_lead = F.length(F.regexp_extract("_raw", r"^[^A-Za-z]+", 0))
     word = F.regexp_replace(F.col("_raw"), r"^[^A-Za-z]+|[^A-Za-z]+$", "")
     return toks.select(
-        F.col(id_col), "line",
+        F.col(id_col), *carry, "line",
         (F.col("_rp") - F.col("_lead")).alias("word_idx"),
         word.alias("word"), F.lower(word).alias("word_lc"),
         (F.col("_col_raw") + strip_lead).cast("int").alias("col_char"),
@@ -205,6 +211,83 @@ def _deletes1_col(word: Column) -> Column:
             ),
         ),
     )
+
+
+def misspellings_multilang(
+    docs: DataFrame,
+    dictionaries: DataFrame,
+    entities: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positions: bool = False,
+    fallback_lang: str = "en",
+) -> DataFrame:
+    """N4 with the reference's per-language dictionary selection
+    (/root/reference/index.js:1383-1396: `dictionary-{iso6391}` of the
+    DETECTED language, en fallback when that dictionary is absent).
+
+    `dictionaries` is a long table (lang string, word string) — the
+    relational form of the per-language hunspell files. Each doc's
+    language comes from the trigram langid; its effective dictionary is
+    that language's rows, or `fallback_lang`'s when the detected
+    language has none. Output adds a `lang` column (the effective
+    dictionary language per doc).
+
+    Scale shape: langid is pure Column algebra computed in the SAME
+    scan; the per-doc language rides through the token explode as a
+    carried column (never a join against a table of all docs); the
+    availability table and the dictionary broadcast; the anti-join keys
+    on (lang, word) — one broadcast anti-join, zero extra shuffles vs
+    the single-dictionary path."""
+    from ..functions.textstats import lang_normtext_col, langid_struct_col
+
+    nt = lang_normtext_col(F.col(text_col))
+    docs_l = docs.withColumn("_nt", nt).withColumn(
+        "_lang", langid_struct_col(F.col("_nt"), prenormalized=True)["iso6391"]
+    ).drop("_nt")
+    avail = dictionaries.select(F.col("lang").alias("_lang")).distinct().withColumn(
+        "_has", F.lit(True)
+    )
+    docs_l = docs_l.join(F.broadcast(avail), "_lang", "left").withColumn(
+        "lang",
+        F.when(F.col("_has"), F.col("_lang")).otherwise(F.lit(fallback_lang)),
+    )
+    toks = doc_tokens(docs_l, id_col, text_col, positions=positions,
+                      carry_cols=("lang",))
+    dict_lc = F.broadcast(
+        dictionaries.select(
+            F.col("lang"), F.lower("word").alias("word_lc")
+        ).distinct()
+    )
+    missed = toks.join(dict_lc, ["lang", "word_lc"], "left_anti")
+    if entities is not None:
+        ent_tokens = (
+            entities.select(
+                F.explode(
+                    F.filter(
+                        F.split(normalize_entity_col(F.col("entity")), " "),
+                        lambda w: w != "",
+                    )
+                ).alias("tok")
+            )
+            .select(
+                F.explode(
+                    F.array_distinct(
+                        F.array(F.col("tok"), F.concat(F.col("tok"), F.lit("s")))
+                    )
+                ).alias("word_key")
+            )
+            .distinct()
+        )
+        missed = missed.join(
+            F.broadcast(ent_tokens),
+            missed["word_lc"] == ent_tokens["word_key"],
+            "left_anti",
+        )
+    cols = [id_col, "lang", "line", "word_idx", "word"]
+    if positions:
+        cols += ["col_char", "offset_start", "offset_end"]
+    return missed.select(*cols)
 
 
 def suggest_corrections(

@@ -135,3 +135,40 @@ def test_char_positions_skip_masked_urls(spark):
     rows = {r.word: r for r in doc_tokens(docs, positions=True).collect()}
     assert rows["now"].offset_start == masked.index("now")
     assert rows["see"].offset_start == 0
+
+
+def test_multilang_dictionary_selection(spark):
+    """N4 per-language dictionary selection (index.js:1383-1396): each
+    doc is spellchecked against its DETECTED language's dictionary;
+    languages without one fall back to en."""
+    import __spark_entry__ as entry
+    from horseman_article_parser_spark.operators.spellcheck import (
+        misspellings_multilang,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, entry.LANG_SAMPLES["eng"] + " zzmiss the"),
+            (2, entry.LANG_SAMPLES["fra"] + " zzmiss le chien"),
+            (3, entry.LANG_SAMPLES["deu"] + " zzmiss der hund"),
+        ],
+        ["doc_id", "text"],
+    )
+    dictionaries = spark.createDataFrame(
+        [("en", w) for w in entry.LANG_SAMPLES["eng"].split()]
+        + [("fr", w) for w in entry.LANG_SAMPLES["fra"].split()],
+        ["lang", "word"],
+    )
+    out = misspellings_multilang(docs, dictionaries)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.word)
+        lang = {1: "en", 2: "fr", 3: "en"}[r.doc_id]
+        assert r.lang == lang, r
+    # each doc misses only its injected token: doc 1+2 own-language
+    # dictionaries cover the sample; doc 3 (deu, no dictionary) falls
+    # back to en, so every German word misses. 'éclaire' edge-strips its
+    # accented initial (ASCII edge rule) to 'claire', a genuine miss.
+    assert by_doc[1] == {"zzmiss"}
+    assert by_doc[2] == {"zzmiss", "claire"}
+    assert "zzmiss" in by_doc[3] and "hund" in by_doc[3]
