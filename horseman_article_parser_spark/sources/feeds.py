@@ -116,3 +116,29 @@ def extract_feed_links(feeds: DataFrame, xml_col: str = "xml",
     return feeds.select(
         F.col(feed_col), F.posexplode(links).alias("pos", "url")
     )
+
+
+def merge_csv_lines(spark: SparkSession, paths: list[str],
+                    header: str | None = None) -> tuple[str, DataFrame]:
+    """S11 CSV merge (/root/reference/scripts/merge-csv.js:15-43):
+    unique trimmed non-empty rows across files, header excluded
+    wherever it reappears. The reference's first-seen header becomes an
+    explicit parameter (or is taken from the first line of the first
+    file — a 1-row read); rows dedupe distributed via dropDuplicates —
+    Spark-first restatement of its in-memory Set.
+
+    Returns (header, rows DataFrame with a single `row` column)."""
+    import pyspark.sql.functions as F
+
+    if header is None:
+        first = spark.read.text(paths[0]).limit(1).collect()
+        if not first:
+            raise ValueError("no header found in first input")
+        header = first[0]["value"].strip()
+    rows = (
+        spark.read.text(paths)
+        .select(F.trim("value").alias("row"))
+        .filter((F.col("row") != "") & (F.col("row") != header))
+        .dropDuplicates(["row"])
+    )
+    return header, rows

@@ -182,3 +182,16 @@ def test_caps_links_and_images():
     assert len(art["links"]) == 1000  # index.js:1000 cap
     assert len(art["images"]) == 500  # index.js:1020 cap
     assert art["images"][0]["index"] == 0 and art["images"][499]["index"] == 499
+
+
+def test_title_reference_quirks():
+    """titleDetector.test.js:18-41 pins: twitter:title fallback,
+    hyphenated words survive the suffix strip, colon subtitles are
+    never treated as suffixes."""
+    html = ('<html><head><meta name="twitter:title" content="Tweet Title">'
+            "<title>Fallback</title></head><body></body></html>")
+    assert extract_article("https://x.example/a", html)["title"] == "Tweet Title"
+    assert (normalize_title("Far-right London rally - Example.com")
+            == "Far-right London rally")
+    full = "PM: I would never have appointed Mandelson had I known full Epstein links"
+    assert normalize_title(full) == full

@@ -81,3 +81,16 @@ def test_read_feeds_file(spark, tmp_path):
     p.write_text("# comment\nhttps://a.com/rss\n\n  https://b.com/atom  \n")
     got = [r.feed_url for r in read_feeds_file(spark, str(p)).collect()]
     assert got == ["https://a.com/rss", "https://b.com/atom"]
+
+
+def test_merge_csv_unique_rows(spark, tmp_path):
+    """mergeCsv.test.js:8-24: rows dedupe across files, header kept
+    once and never counted as a row."""
+    from horseman_article_parser_spark.sources.feeds import merge_csv_lines
+
+    f1, f2 = tmp_path / "in1.csv", tmp_path / "in2.csv"
+    f1.write_text("header\nrow1\nrow2\n")
+    f2.write_text("header\nrow2\nrow3\n")
+    header, rows = merge_csv_lines(spark, [str(f1), str(f2)])
+    assert header == "header"
+    assert sorted(r.row for r in rows.collect()) == ["row1", "row2", "row3"]
