@@ -604,28 +604,38 @@ def q_text_quality(spark, sf_dir):
 # Per-language sample sentences for the langid oracle
 # (doc_id % n_languages selects one); each must be detected as its own
 # language — asserted in tests/test_textstats.py, while the oracle pins
-# the scoring arithmetic. 33 languages / 14 scripts.
+# the scoring arithmetic. 52 languages / 24 scripts.
 LANG_SAMPLES: dict[str, str] = {
+    "amh": "ፈጣኑ ቡናማ ቀበሮ ሰነፉን ውሻ ላይ ይዘላል እና በከተማ ውስጥ ሰዎች ያዩታል ነው",
     "arb": ("الثعلب البني السريع يقفز فوق الكلب الكسول في المدينة "
             "الكبيرة من دون معرفة الناس على الشارع"),
     "ben": ("দ্রুত বাদামী শিয়াল অলস কুকুরের উপর লাফ দেয় এবং শহরের "
             "মানুষ সেটা দেখে খুশি হয়ে করে"),
+    "bul": ("бързата кафява лисица скача над мързеливото куче в "
+            "големия град и хората ще се радват на това"),
+    "cat": ("la guineu marró ràpida salta sobre el gos mandrós que és "
+            "a la gran ciutat i els veïns ho veuen"),
     "ces": ("rychlá hnědá liška skáče přes líného psa ve velkém městě "
             "kde není nic nového pro lidi ani pro ně"),
-    "cmn": ("敏捷的棕色狐狸跳过了懒惰的狗我们都在大城市里看到了这个有趣的事情"
-            "大家都是朋友"),
-    "deu": ("der schnelle braune fuchs springt über den faulen hund und "
-            "die katze schläft in der großen verwaltung gemütlich"),
+    "cmn": "敏捷的棕色狐狸跳过了懒惰的狗我们都在大城市里看到了这个有趣的事情大家都是朋友",
+    "deu": ("der schnelle braune fuchs springt über den faulen hund "
+            "und die katze schläft in der großen verwaltung gemütlich"),
     "ell": ("και η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο "
             "της μεγάλης πόλης και την θάλασσα"),
     "eng": ("the quick brown fox jumps over the lazy dog and then the "
             "animals are running into the deep forest together"),
+    "est": ("kiire pruun rebane hüppab üle laisa koera suures linnas "
+            "ja paljud inimesed näevad seda kiiresti"),
+    "eus": ("azeri arre azkarra txakur alfer baten gainetik jauzi "
+            "egiten du hiri handian eta jendeak ikusten du"),
     "fas": ("روباه قهوه ای سریع از روی سگ تنبل می پرد و در شهر بزرگ "
             "زندگی می کند که مردم را دیده اند"),
     "fin": ("nopea ruskea kettu hyppää laiskan koiran yli suuressa "
             "kaupungissa ja kaikki ihmiset katsovat sitä ihmeissään"),
     "fra": ("le renard brun rapide saute par dessus le chien paresseux "
             "dans les grands champs que la lumière éclaire"),
+    "guj": ("ઝડપી ભૂરા શિયાળ આળસુ કૂતરા પર કૂદકો મારે છે અને શહેરના "
+            "લોકો તે જુએ છે"),
     "heb": ("השועל החום המהיר קופץ מעל הכלב העצלן בעיר הגדולה ואנשים "
             "רבים רואים את זה של הבוקר"),
     "hin": ("तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है और शहर में सब "
@@ -634,36 +644,61 @@ LANG_SAMPLES: dict[str, str] = {
             "városban ahol az emberek sokat dolgoznak a munkában"),
     "hye": ("արագ շագանակագույն աղվեսը ցատկում է ծույլ շան վրայով մեծ "
             "քաղաքում որտեղ մարդիկ ապրում են"),
-    "ind": ("rubah coklat yang cepat melompat di atas anjing yang malas "
-            "di kota besar dengan orang yang berjalan"),
+    "ind": ("rubah coklat yang cepat melompat di atas anjing yang "
+            "malas di kota besar dengan orang yang berjalan"),
+    "isl": ("fljóti brúni refurinn stekkur yfir lata hundinn í stóru "
+            "borginni og margir sjá það í æði"),
     "ita": ("la volpe veloce salta sopra il cane pigro della grande "
             "città che dorme al sole con gli amici della stazione"),
-    "jpn": ("すばやい茶色の狐はのんびりした犬を飛び越えましたそれは見事でしたと"
-            "いうことです"),
+    "jpn": "すばやい茶色の狐はのんびりした犬を飛び越えましたそれは見事でしたということです",
+    "kan": ("ವೇಗದ ಕಂದು ನರಿ ಸೋಮಾರಿ ನಾಯಿಯ ಮೇಲೆ ಜಿಗಿಯುತ್ತದೆ ಮತ್ತು ನಗರದ "
+            "ಜನರು ಅದನ್ನು ನೋಡುತ್ತಾರೆ"),
     "kat": ("სწრაფი ყავისფერი მელა ახტება ზარმაც ძაღლზე დიდ ქალაქში "
             "სადაც ხალხი ცხოვრობს და მუშაობს"),
-    "kor": ("빠른 갈색 여우는 게으른 개를 뛰어넘는다 그리고 도시에 있는 "
-            "사람들이 그것을 보고 있다"),
+    "khm": ("កញ្ជ្រោងពណ៌ត្នោតលឿនលោតពីលើឆ្កែខ្ជិល "
+            "ហើយមនុស្សនៅក្នុងទីក្រុងមើលវា"),
+    "kor": "빠른 갈색 여우는 게으른 개를 뛰어넘는다 그리고 도시에 있는 사람들이 그것을 보고 있다",
+    "lao": ("ຫມາຈອກສີນ້ຳຕານທີ່ໄວກະໂດດຂ້າມຫມາຂີ້ຄ້ານ ແລະ "
+            "ຄົນໃນເມືອງໃຫຍ່ເບິ່ງມັນຫຼາຍ"),
+    "lav": ("ātrā brūnā lapsa lec pāri slinkajam sunim lielajā pilsētā "
+            "un daudzi cilvēki to redz"),
+    "lit": ("greita ruda lapė šokinėja per tingų šunį dideliame mieste "
+            "ir daug žmonių tai mato"),
+    "mal": ("വേഗതയുള്ള തവിട്ട് കുറുക്കൻ മടിയനായ നായയുടെ മുകളിലൂടെ "
+            "ചാടുന്നു നഗരത്തിലെ ആളുകൾ അത് കാണുന്നു"),
+    "mya": ("လျင်မြန်သော အညိုရောင် မြေခွေးသည် ပျင်းရိသော ခွေးကို "
+            "ကျော်ပြီး ခုန်သည် မြို့ထဲတွင် လူများ ကြည့်နေကြသည်"),
     "nld": ("de snelle bruine vos springt over de luie hond van het "
             "grote huis een keer voor de verandering"),
     "nob": ("den raske brune reven hopper over den late hunden i den "
             "store byen på en fin dag for alle"),
+    "pan": ("ਤੇਜ਼ ਭੂਰੀ ਲੂੰਬੜੀ ਆਲਸੀ ਕੁੱਤੇ ਦੇ ਉੱਤੇ ਛਾਲ ਮਾਰਦੀ ਹੈ ਅਤੇ "
+            "ਸ਼ਹਿਰ ਵਿੱਚ ਲੋਕ ਦੇਖਦੇ ਹਨ"),
     "pol": ("szybki brązowy lis przeskakuje nad leniwym psem w wielkim "
             "polskim mieście gdzie nie ma niczego ciekawego"),
     "por": ("a rápida raposa marrom salta sobre o cão preguiçoso da "
             "grande cidade que dorme durante a informação da manhã"),
-    "ron": ("vulpea maro rapidă sare peste câinele leneș în orașul mare "
-            "unde oamenii sunt mulți și muncesc mult"),
+    "ron": ("vulpea maro rapidă sare peste câinele leneș în orașul "
+            "mare unde oamenii sunt mulți și muncesc mult"),
     "rus": ("быстрая коричневая лиса прыгает через ленивую собаку на "
             "большой площади не зная ничего про государство"),
-    "spa": ("el rápido zorro marrón salta sobre el perro perezoso de la "
-            "gran ciudad que duerme con la información de la mañana"),
+    "sin": ("වේගවත් දුඹුරු නරියා කම්මැලි බල්ලා උඩින් පනිනවා සහ නගරයේ "
+            "මිනිසුන් එය බලනවා"),
+    "spa": ("el rápido zorro marrón salta sobre el perro perezoso de "
+            "la gran ciudad que duerme con la información de la mañana"),
     "swe": ("den snabba bruna räven hoppar över den lata hunden och "
             "katten i det stora huset för att det är sommar"),
+    "swh": ("mbweha wa kahawia mwenye kasi anaruka juu ya mbwa mvivu "
+            "katika mji mkubwa na watu wanaona"),
     "tam": ("வேகமான பழுப்பு நரி சோம்பேறி நாயின் மேல் குதிக்கிறது "
             "நகரத்தில் மக்கள் அதை பார்க்கிறார்கள்"),
-    "tha": ("สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจในเมืองใหญ่และ"
-            "ผู้คนมากมายมองดูมัน"),
+    "tel": ("వేగంగా ఉన్న గోధుమ నక్క సోమరి కుక్క మీద దూకుతుంది మరియు "
+            "నగరంలో ప్రజలు చూస్తున్నారు"),
+    "tgl": ("ang mabilis na kayumangging soro ay tumatalon sa ibabaw "
+            "ng tamad na aso sa malaking lungsod at ang mga tao ay "
+            "nakakakita"),
+    "tha": ("สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจในเมืองใหญ่และผู"
+            "้คนมากมายมองดูมัน"),
     "tur": ("hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve "
             "büyük şehirde insanlar bunu görür bir gün"),
     "ukr": ("швидка коричнева лисиця стрибає через ледачого пса у "
@@ -677,7 +712,7 @@ LANG_SAMPLES: dict[str, str] = {
 
 def q_langid(spark, sf_dir):
     """N1 trigram-profile language ID (franc model, language.js:26-46):
-    struct(iso6391, iso6393) over 33 languages / 14 scripts; exact
+    struct(iso6391, iso6393) over 52 languages / 24 scripts; exact
     arithmetic oracle (score algebra rendered to SQL) over
     by-construction per-language sample texts."""
     docs = _load(_prep(spark), sf_dir, "documents")

@@ -15,7 +15,7 @@ Reference parity (behavior, not code):
     /root/reference/controllers/entityParser.js:83-90 (X1)
 - language detect = n-gram profile scoring with 'en' default
     /root/reference/controllers/language.js:26-46 (N1) — here a
-    franc-style ranked-trigram model over 33 languages spanning 14
+    franc-style ranked-trigram model over 52 languages spanning 24
     scripts (Latin, Cyrillic, Greek, Arabic, Hebrew, Devanagari,
     Bengali, Tamil, Thai, Georgian, Armenian, Hangul, kana, Han),
     argmax with deterministic alphabetical tie-break and 'eng'/'en'
@@ -52,26 +52,38 @@ LANG_DEFAULT = "en"
 # no UDF; identical arithmetic renders to the DuckDB oracle.
 
 LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "amh": ("ነው ", " እና", "እና ", "ውስጥ", "ላይ ", "የሚ", "ናቸው", "አለ", "ነበር",
+            "ከተማ", "ውሻ", "ላይ", "በጣም", "ሰዎች", "ው "),
     "arb": (" ال", "الم", "في ", " في", "من ", " من", "على", " عل", "ية ",
             "ات ", "ون ", " وا", "ها ", "ين ", "ب ا"),
     "ben": ("ের ", "েয়", " কর", "রে ", "কে ", "য় ", " এব", "এবং", "বং ",
             "ায় ", " দে", "দেখ", "াল ", " মা", "ষ "),
+    "bul": ("ата ", "ът ", "ите ", " на", "на ", "да ", " да", "ва ", "ето",
+            " се", "се ", "ият", "джо", " къ", "ще "),
+    "cat": ("eu ", "ós ", "ïns", "tat", "ràp", " el", "el ", " i ", "els",
+            "que", "és ", " és", "aça", "sse", "ciu"),
     "ces": (" př", "pře", "ení", " ne", "ně ", "ost", " po", "ho ", " na",
             "ou ", " je", "je ", "ých", "ční", "ře "),
-    "cmn": ("的", "是", "了", "在", "们", "这", "有", "大", "国", "中",
-            "上", "个", "不", "我", "市"),
+    "cmn": ("的", "是", "了", "在", "们", "这", "有", "大", "国", "中", "上", "个", "不",
+            "我", "市"),
     "deu": (" de", "der", "ein", "sch", "ich", "nde", "die", "und", "cht",
             "ung", "gen", " ge", "ver", "eit", " zu"),
     "ell": ("και", " κα", "αι ", "την", "τον", "της", " τη", "ος ", "το ",
             " το", "ου ", "ματ", "ικό", "ετα", "να "),
     "eng": (" th", "the", "he ", "ing", "ng ", "and", " an", " of", "of ",
             "ion", " to", "ed ", " in", "tha", "ent"),
+    "est": ("on ", " on", "ja ", " ja", "ga ", "le ", "sti ", "nud", "inna",
+            "üle", " ül", "se ", "ud ", "ast", "kii"),
+    "eus": ("tza", "ak ", "en ", "ko ", "eta", " et", "ean", "zen", "du ",
+            " du", "ren", "tik", "era", "ria", "txa"),
     "fas": (" می", "می ", "ای ", " از", "از ", "ده ", " که", "که ", "ند ",
             " را", "را ", "ود ", "هی ", " سگ", "رد "),
     "fin": ("ssa", "ssä", "en ", "in ", "lla", "sta", "aan", "een", "ksi",
             " ja", "ja ", "ttä", "nen", "ist", "kki"),
     "fra": (" de", "de ", " le", "le ", "ent", "que", " qu", "les", "la ",
             " la", "ion", "eur", "ait", " et", "ous"),
+    "guj": ("માં", "્યા", "ાય ", "છે ", " છે", "નો ", "ના ", "ની ", "ું ",
+            " અન", "અને", "થી ", "વા ", " ગુ", "રો "),
     "heb": (" ה", "ים ", "את ", " את", "של ", " של", "ות ", "ול ", " ב",
             "ל ה", "ר ה", "ה ה", "ם ר", "עיר", " וא"),
     "hin": ("के ", " के", "है ", " है", "की ", " की", "में", " मे", "ने ",
@@ -82,18 +94,36 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
             "որտ", "ույ", "յուն", " շա", "ագու", "վրա"),
     "ind": ("ang", "ng ", "yang", " ya", "kan", "di ", " di", "ber", "ata",
             "ah ", "nya", " ke", " me", "lom", "ola"),
+    "isl": ("ður", "inn", " yf", "yfir", "ið ", "ur ", "nn ", " í ", "og ",
+            " og", "refur", "inum", "þæg", "æði", "ði "),
     "ita": (" di", "di ", "che", " ch", "la ", " la", "zio", "one", "lla",
             "del", " de", "ato", "re ", "gli", " co"),
-    "jpn": ("した", "ます", "です", "ている", "である", "として", "こと", "それ",
-            "ました", "ない", "れた", "など", "について", "という", "には"),
+    "jpn": ("した", "ます", "です", "ている", "である", "として", "こと", "それ", "ました", "ない",
+            "れた", "など", "について", "という", "には"),
+    "kan": ("ಿದೆ", "ಲ್ಲಿ", "ಗಳು", "ನ್ನು", " ಕ", "ದ ", "ರು ", "ಿದ", "ಗೆ ",
+            "ವು ", "ಂದ", "ು ", " ಮ", "ತ್ತ", "ಾಗ"),
     "kat": ("ის ", "ში ", "ება", " და", "და ", "ელი", "იან", "ზე ", "ქალ",
             "ალა", "აქი", "ხალ", "ლი ", "რი ", " სა"),
-    "kor": ("는 ", "를 ", "이 ", "가 ", "에 ", "다 ", "니다", "고 ", "의 ",
-            "을 ", "에서", "있는", "람들", "사람", "그리"),
+    "khm": ("ការ", "នេះ", "របស់", "ដែល", "និង", "បាន", "នៅ", "ពី", "ជា",
+            "ទៅ", "គេ", "ក្នុង", "មាន", "ថា", "ឆ្កែ"),
+    "kor": ("는 ", "를 ", "이 ", "가 ", "에 ", "다 ", "니다", "고 ", "의 ", "을 ", "에서",
+            "있는", "람들", "사람", "그리"),
+    "lao": ("ການ", "ແລະ", "ຂອງ", "ໃນ", "ໄດ້", "ມີ", "ທີ່", "ເປັນ", "ຢູ່",
+            "ໄປ", "ຫມາ", "ໃຫຍ່", "ຄົນ", "ເມືອງ", "ຫຼາຍ"),
+    "lav": ("ais", " pā", "pār", "ar ", " ar", "tā ", "ās ", "iem", " un",
+            "un ", "ā ", "ši ", "āk ", "slin", "kais"),
+    "lit": ("ėja", "oki", " šu", "šun", "ių ", "iame", "ies", "uda", "eit",
+            "aug", " da", "ai ", "ing", "mat", "žmo"),
+    "mal": ("ിൽ ", "ന്ന", "ുന്ന", "ത്ത", "കൾ", "ും ", "ന്റെ", "യും", " പ",
+            "ല്ല", "ിക്ക", "ടെ ", "ആണ", "ണ് ", " മ"),
+    "mya": ("သည်", "များ", "ကို", "တွင်", "နှင့်", "သော", "ရေး", "ပြီး",
+            "ခြင်း", "က ", "မှာ", "တယ်", "တို့", "ဖြစ်", "နေ"),
     "nld": (" de", "de ", "en ", "van", " va", "het", " he", "een", " ee",
             "ijk", "aar", "oor", "ver", "ing", " en"),
     "nob": ("er ", "en ", " og", "og ", "det", "et ", " fo", "for", "til",
             " ti", "ene", " på", "på ", "den", " den"),
+    "pan": ("ਾਂ ", "ਦੇ ", " ਦੇ", "ਹੈ ", " ਹੈ", "ਦੀ ", " ਦੀ", "ਨੂੰ", "ਿਆ ",
+            " ਵਿ", "ਵਿੱਚ", "ਅਤੇ", " ਅਤ", "ੀਆਂ", " ਨ"),
     "pol": ("prz", "rze", "nie", " ni", "ego", " po", "ość", "ych", "owa",
             " pr", "ać ", "ie ", "cze", "ski", " w "),
     "por": (" de", "de ", "ção", "açã", " do", "do ", "da ", " da", "que",
@@ -102,18 +132,26 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
             "ără", "și ", " și", "ește", "ulu", "mul"),
     "rus": (" пр", "про", "ого", "го ", " на", "на ", "ени", "ние", " по",
             "ост", "ств", "ать", "ть ", "ово", " не"),
+    "sin": ("යි ", "ෙන්", "ත් ", "ය ", " කර", "ලා ", "නවා", "ේ ", "ක් ",
+            " සහ", "සහ ", "වල ", "ගේ ", " ම", "ටත"),
     "spa": (" de", "de ", " la", "la ", "que", " qu", "el ", " el", "ión",
             "ció", "ado", "los", " lo", "ent", " en"),
     "swe": ("och", " oc", "ch ", "att", " at", "för", " fö", "det", " de",
             "som", " so", "ing", "en ", "and", "ät "),
+    "swh": ("wa ", " wa", "ana", "na ", " na", "ni ", "ili", "kub", "mbwa",
+            "kat", "ika", "uka", " ku", "chi", "ji "),
     "tam": ("ும் ", "கிற", "த்த", "ில் ", "ின் ", "மான", "ான ", " நா", "மேல",
             "ட்ட", "று ", "கள்", "ல் ", "ரி ", "து "),
+    "tel": ("లో ", "ంది", "ారు", " తె", "ను ", "కు ", "ది ", "గా ", " ఉం",
+            "న్న", "ాల", "రు ", "ందు", " ప", "ంట"),
+    "tgl": ("ang", " an", "ng ", " ng", "mga", " mg", "ay ", " ay", "ong",
+            "ala", "aso", " sa", "sa ", "ing", "han"),
     "tha": ("สุนัข", "และ", "ใน", "ี่", "ขี้", "ือ", "ของ", "ไม่", "ที่",
             "การ", "เมือง", "ผู้", "คน", "ใหญ่", "มาก"),
-    "tur": ("lar", "ler", "ın ", "ve ", " ve", "bir", " bi", "den",
-            "nda", "ği ", "ır ", "üyü", "şeh", "ız ", "gör"),
-    "ukr": ("ає ", "ння", " що", "що ", "ть ", "ці ", "іст", " мі",
-            "ськ", "ому", "их ", "ів ", "при", " ве", "ько"),
+    "tur": ("lar", "ler", "ın ", "ve ", " ve", "bir", " bi", "den", "nda",
+            "ği ", "ır ", "üyü", "şeh", "ız ", "gör"),
+    "ukr": ("ає ", "ння", " що", "що ", "ть ", "ці ", "іст", " мі", "ськ",
+            "ому", "их ", "ів ", "при", " ве", "ько"),
     "urd": (" ہے", "ہے ", "یں ", "تے ", "تی ", " کے", "کے ", "کی ", " کی",
             "اور", " او", "ر ش", "وپر", " لو", "گ ا"),
     "vie": ("ng ", " ng", "nh ", " nh", "on ", " co", "con", " và", "và ",
@@ -123,15 +161,42 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 # the reference's ISO-639-3 → ISO-639-1 table (language.js:6-13), the
 # subset our profiles cover
 ISO3_TO_1: dict[str, str] = {
-    "arb": "ar", "ben": "bn", "ces": "cs", "cmn": "zh", "deu": "de",
-    "ell": "el", "eng": "en", "fas": "fa", "fin": "fi", "fra": "fr",
-    "heb": "he", "hin": "hi", "hun": "hu", "hye": "hy", "ind": "id",
-    "ita": "it", "jpn": "ja", "kat": "ka", "kor": "ko", "nld": "nl",
-    "nob": "no", "pol": "pl", "por": "pt", "ron": "ro", "rus": "ru",
-    "spa": "es", "swe": "sv", "tam": "ta", "tha": "th", "tur": "tr",
-    "ukr": "uk", "urd": "ur", "vie": "vi",
+    "amh": "am", "arb": "ar", "ben": "bn", "bul": "bg", "cat": "ca",
+    "ces": "cs", "cmn": "zh", "deu": "de", "ell": "el", "eng": "en",
+    "est": "et", "eus": "eu", "fas": "fa", "fin": "fi", "fra": "fr",
+    "guj": "gu", "heb": "he", "hin": "hi", "hun": "hu", "hye": "hy",
+    "ind": "id", "isl": "is", "ita": "it", "jpn": "ja", "kan": "kn",
+    "kat": "ka", "khm": "km", "kor": "ko", "lao": "lo", "lav": "lv",
+    "lit": "lt", "mal": "ml", "mya": "my", "nld": "nl", "nob": "no",
+    "pan": "pa", "pol": "pl", "por": "pt", "ron": "ro", "rus": "ru",
+    "sin": "si", "spa": "es", "swe": "sv", "swh": "sw", "tam": "ta",
+    "tel": "te", "tgl": "tl", "tha": "th", "tur": "tr", "ukr": "uk",
+    "urd": "ur", "vie": "vi",
 }
 LANG_DEFAULT_ISO3 = "eng"
+
+# Script gates: every trigram of the gated language contains ≥1 char in
+# the range, so `text lacks the script ⇒ score is 0` — wrapping the
+# 15-count sum in when(rlike(range), ...).otherwise(0) is an IDENTITY
+# on results (asserted in tests) that lets lazy branch evaluation skip
+# ~half the profile arithmetic on any single-script text. Latin-script
+# languages are ungated (Latin text is the common case).
+LANG_SCRIPT_GATES: dict[str, str] = {
+    "amh": r"[ሀ-፿]", "arb": r"[؀-ۿ]",
+    "ben": r"[ঀ-৿]", "bul": r"[Ѐ-ӿ]",
+    "cmn": r"[一-鿿]", "ell": r"[Ͱ-Ͽ]",
+    "fas": r"[؀-ۿ]", "guj": r"[઀-૿]",
+    "heb": r"[֐-׿]", "hin": r"[ऀ-ॿ]",
+    "hye": r"[԰-֏]", "jpn": r"[぀-ヿ]",
+    "kan": r"[ಀ-೿]", "kat": r"[Ⴀ-ჿ]",
+    "khm": r"[ក-៿]", "kor": r"[가-힯]",
+    "lao": r"[຀-໿]", "mal": r"[ഀ-ൿ]",
+    "mya": r"[က-႟]", "pan": r"[਀-੿]",
+    "rus": r"[Ѐ-ӿ]", "sin": r"[඀-෿]",
+    "tam": r"[஀-௿]", "tel": r"[ఀ-౿]",
+    "tha": r"[฀-๿]", "ukr": r"[Ѐ-ӿ]",
+    "urd": r"[؀-ۿ]",
+}
 
 
 def lang_normtext_col(text: Column | str) -> Column:
@@ -176,7 +241,13 @@ def trigram_lang_scores(text: Column | str,
         for rank, tg in enumerate(tgs):
             term = _trigram_count(norm, tg) * F.lit(k - rank)
             score = term if score is None else score + term
-        out[lang] = score.cast("long")
+        score = score.cast("long")
+        gate = LANG_SCRIPT_GATES.get(lang) if p is LANG_TRIGRAMS else None
+        if gate is not None:
+            score = F.when(norm.rlike(gate), score).otherwise(
+                F.lit(0).cast("long")
+            )
+        out[lang] = score
     return out
 
 

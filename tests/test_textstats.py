@@ -123,3 +123,44 @@ def test_bpe_token_count_pretokenizer(spark):
     # "hello" "  " (ws run collapses into the next branch: " world"
     # takes one leading space, the rest is a ws token) -> 3
     assert got[3] == 3
+
+
+def test_script_gates_are_identities():
+    """Every gated language's trigrams each contain >=1 char inside the
+    gate range, so 'text lacks script => score 0' holds and the gate
+    can never change a result — only skip work."""
+    import re
+
+    from horseman_article_parser_spark.functions.textstats import (
+        LANG_SCRIPT_GATES,
+        LANG_TRIGRAMS,
+    )
+
+    for lang, gate in LANG_SCRIPT_GATES.items():
+        pat = re.compile(gate)
+        for tg in LANG_TRIGRAMS[lang]:
+            assert pat.search(tg), (lang, tg)
+
+
+def test_langid_gated_equals_ungated(spark):
+    """The script gate is a pure runtime optimization: scores with and
+    without gates agree on every sample."""
+    import __spark_entry__ as entry
+    from horseman_article_parser_spark.functions import textstats as TS
+
+    rows = [(k, v) for k, v in sorted(entry.LANG_SAMPLES.items())]
+    df = spark.createDataFrame(rows, ["want", "txt"]).withColumn(
+        "_nt", TS.lang_normtext_col("txt")
+    )
+    gated = TS.trigram_lang_scores(TS.F.col("_nt"), prenormalized=True)
+    ungated = TS.trigram_lang_scores(
+        TS.F.col("_nt"), dict(TS.LANG_TRIGRAMS), prenormalized=True
+    )
+    sel = df.select(
+        "want",
+        *[gated[lang].alias(f"g_{lang}") for lang in sorted(gated)],
+        *[ungated[lang].alias(f"u_{lang}") for lang in sorted(ungated)],
+    )
+    for r in sel.collect():
+        for lang in gated:
+            assert r[f"g_{lang}"] == r[f"u_{lang}"], (r["want"], lang)
