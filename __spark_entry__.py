@@ -800,7 +800,9 @@ def q_keywords_topk(spark, sf_dir):
         "doc_id", F.lit("term").alias("kind"), F.col("term").alias("gram"),
         "tf", "rank", F.lit(None).cast("long").alias("score_x1e9"),
     )
-    phr = TS.keyphrases_topk(docs, k=8).select(
+    # kind='phrase' pools 2- and 3-gram noun phrases into one ranking,
+    # like retext-keywords' variable-length keyphrase spans
+    phr = TS.keyphrases_topk(docs, k=8, n=(2, 3)).select(
         "doc_id", F.lit("phrase").alias("kind"), F.col("phrase").alias("gram"),
         "tf", "rank",
         F.round(F.col("score") * 1_000_000_000).cast("long").alias("score_x1e9"),
@@ -2496,6 +2498,9 @@ WITH toks AS (
 ), grams AS (
   SELECT doc_id, ws[gs] || ' ' || ws[gs + 1] AS phrase
   FROM pt, unnest(range(1, len(ws))) AS t(gs)
+  UNION ALL
+  SELECT doc_id, ws[gs] || ' ' || ws[gs + 1] || ' ' || ws[gs + 2] AS phrase
+  FROM pt, unnest(range(1, len(ws) - 1)) AS t(gs)
 ), pflt AS (
   SELECT doc_id, phrase FROM grams
   WHERE string_split(phrase, ' ')[1] NOT IN ({STOP})

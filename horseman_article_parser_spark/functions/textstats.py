@@ -784,33 +784,44 @@ def keywords_topk(docs: DataFrame, k: int = 10, id_col: str = "doc_id",
     )
 
 
-def keyphrases_topk(docs: DataFrame, k: int = 10, n: int = 2,
+def keyphrases_topk(docs: DataFrame, k: int = 10, n: int | tuple[int, ...] = 2,
                     id_col: str = "doc_id", text_col: str = "text",
                     stopwords: tuple[str, ...] = STOPWORDS_MINI) -> DataFrame:
     """N3 keyphrases: top-k word n-grams per document by frequency,
-    phrases containing stopwords at either edge dropped (retext-keywords
-    keeps noun-phrase-ish spans; the deterministic stand-in is
-    edge-stopword filtering). Score = tf / max_tf per doc, mirroring the
-    reference's normalized keyphrase weight
-    (/root/reference/controllers/keywordParser.js:32-77). One explode →
-    one (doc, phrase) shuffle → one window."""
+    phrases containing stopwords at either edge dropped. retext-keywords
+    ranks noun-phrase spans of ANY length together
+    (/root/reference/controllers/keywordParser.js:32-77); pass a tuple
+    of lengths (e.g. (2, 3)) to pool several gram lengths into one
+    ranking — all lengths come out of ONE explode over the same token
+    array. Score = tf / max_tf per doc, the reference's normalized
+    keyphrase weight. One explode → one (doc, phrase) shuffle → one
+    window."""
     from pyspark.sql.window import Window
 
+    lengths = (n,) if isinstance(n, int) else tuple(n)
     toks = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
     # guard docs shorter than n tokens: sequence(0, stop) with stop < 0
     # DESCENDS in Spark (default step -1, not an empty array), making
     # slice() see start=0 and throw under ANSI mode. Filtering size >= n
     # both fixes the crash and matches the oracle (range() yields zero
     # rows for short docs).
-    toks = toks.filter(F.size("_t") >= n)
+    toks = toks.filter(F.size("_t") >= min(lengths))
+    def _join_grams(ln: int):
+        # single-arg lambda REQUIRED: F.transform treats a 2-parameter
+        # function as (element, index) — a default-arg closure would be
+        # silently bound to the index
+        return lambda i: F.array_join(F.slice("_t", i + 1, ln), " ")
+
+    gram_arrays = [
+        F.when(
+            F.size("_t") >= ln,
+            F.transform(F.sequence(F.lit(0), F.size("_t") - ln), _join_grams(ln)),
+        ).otherwise(F.array().cast("array<string>"))
+        for ln in lengths
+    ]
     grams = toks.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_t") - n),
-                lambda i: F.array_join(F.slice("_t", i + 1, n), " "),
-            )
-        ).alias("phrase"),
+        F.explode(F.concat(*gram_arrays)).alias("phrase"),
     )
     first = F.element_at(F.split(F.col("phrase"), " "), 1)
     last = F.element_at(F.split(F.col("phrase"), " "), -1)

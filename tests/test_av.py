@@ -94,3 +94,15 @@ def test_sample_frames_with_pixels_roundtrip(spark):
     for r in rows:
         px = decode_image(bytes(r.frame))
         assert np.array_equal(px, synth_frame(0, r.frame_idx, r.w, r.h))
+
+
+def test_av_features_no_binary_in_exchange(spark):
+    """Scale rule: media bytes die inside the mapInPandas stage — no
+    shuffle exchange may carry the `bytes`/`frame` binary columns."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["av_features"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line and "frame#" not in line, line

@@ -164,3 +164,19 @@ def test_langid_gated_equals_ungated(spark):
     for r in sel.collect():
         for lang in gated:
             assert r[f"g_{lang}"] == r[f"u_{lang}"], (r["want"], lang)
+
+
+def test_keyphrases_pooled_lengths(spark):
+    """Variable-length keyphrase pooling: 2- and 3-gram noun phrases
+    rank together (keywordParser.js:32-77 spans any length)."""
+    text = ("annual budget report annual budget report annual budget "
+            "report city council city council")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = keyphrases_topk(docs, k=10, n=(2, 3)).collect()
+    got = {r["phrase"]: (r["tf"], r["rank"]) for r in rows}
+    assert "annual budget report" in got  # 3-gram present
+    assert "annual budget" in got and "city council" in got
+    # tf ordering: 'annual budget' tf=3 beats 'city council' tf=2 and
+    # the 3-gram also has tf=3
+    assert got["annual budget"][0] == 3 and got["annual budget report"][0] == 3
+    assert got["city council"][0] == 2
