@@ -296,15 +296,24 @@ def q_robots_filter(spark, sf_dir):
         F.concat(F.lit("https://"), host, path).alias("url"),
         host.alias("host"),
     )
-    robots = spark.createDataFrame(
+    # the rules enter as RAW robots.txt bodies and go through the full
+    # parse chain (T2: fetch-robots → parse → evaluate); the oracle is
+    # unchanged because the parsed rules are by construction
+    robots_files = spark.createDataFrame(
         [
-            ("h0.example.com", "disallow", "/admin", 1000),
-            ("h1.example.com", "disallow", "/", 1000),
-            ("h1.example.com", "allow", "/public", 1000),
-            ("h2.example.com", "disallow", "/story", 1000),
+            ("h0.example.com",
+             "# disallow the admin area\nUser-agent: *\nDisallow: /admin\n"
+             "Crawl-delay: 1\n"),
+            ("h1.example.com",
+             "User-agent: otherbot\nDisallow: /nothing\n\n"
+             "User-agent: *\nDisallow: /\nAllow: /public\nCrawl-delay: 1\n"),
+            ("h2.example.com",
+             "User-agent: horseman\nUser-agent: googlebot\n"
+             "Disallow: /story\nCrawl-delay: 1\n"),
         ],
-        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
+        "host string, robots_txt string",
     )
+    robots = PO.parse_robots_txt(robots_files, agent="horseman")
     return PO.robots_filter(cand, robots).select("seq", "url", "host")
 
 

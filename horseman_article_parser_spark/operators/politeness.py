@@ -136,3 +136,88 @@ def enforce_host_budget(
     w2 = Window.partitionBy("host").orderBy(*order)
     df = df.withColumn("_r2", F.row_number().over(w2)).filter(F.col("_r2") <= F.col("_budget"))
     return df.drop("_budget", "_salt", "_r1", "_r2")
+
+
+def parse_robots_txt(robots_files: DataFrame, agent: str = "horseman",
+                     host_col: str = "host",
+                     text_col: str = "robots_txt") -> DataFrame:
+    """Parse raw robots.txt bodies into the rules table
+    (host, rule_type, path_prefix, crawl_delay_ms) that `robots_filter`
+    and `host_budgets` consume — closing the north rule's
+    fetch-robots → evaluate chain.
+
+    Semantics (robotstxt.org / RFC 9309 subset):
+    - consecutive `User-agent:` lines stack into one group header; the
+      group's rules run until the next header
+    - the group whose agents contain `agent` (case-insensitive
+      substring-free exact token match) wins over the `*` group; with
+      neither, the host has no rules (allowed)
+    - `Allow:` / `Disallow:` with empty paths are ignored (an empty
+      Disallow means allow-all per the original spec)
+    - `Crawl-delay:` seconds → crawl_delay_ms on every emitted rule row
+
+    Scale shape: explode lines → two window passes keyed by host (group
+    numbering via running sums, ordered by line position) → aggregate
+    group headers → pick best group per host. Everything keys on host —
+    robots bodies are per-host small, and hosts are high-cardinality."""
+    w_host = Window.partitionBy(host_col).orderBy("line_no")
+    lines = robots_files.select(
+        F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+    ).select(
+        host_col, "line_no",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    kv = lines.select(
+        host_col, "line_no",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
+    ).filter(F.col("key") != "")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    prev_ua = F.lag(is_ua, 1, 0).over(w_host)
+    # a UA line starts a new group only when the previous line was NOT
+    # a UA line (consecutive UA lines stack into one header)
+    starts = ((is_ua == 1) & (prev_ua == 0)).cast("int")
+    grouped = kv.withColumn(
+        "group_id",
+        F.sum(starts).over(w_host.rowsBetween(Window.unboundedPreceding, 0)),
+    ).filter(F.col("group_id") > 0)
+    agents = (
+        grouped.filter(F.col("key") == "user-agent")
+        .groupBy(host_col, "group_id")
+        .agg(F.collect_set(F.lower("value")).alias("agents"))
+        .withColumn(
+            "match_rank",
+            F.when(F.array_contains("agents", agent.lower()), 0)
+            .when(F.array_contains("agents", "*"), 1)
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("match_rank").isNotNull())
+    )
+    w_best = Window.partitionBy(host_col).orderBy("match_rank", "group_id")
+    best = (
+        agents.withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .select(host_col, "group_id")
+    )
+    rules = grouped.join(best, [host_col, "group_id"])
+    delay = (
+        rules.filter(F.col("key") == "crawl-delay")
+        .groupBy(host_col)
+        .agg(
+            (F.min(F.expr("try_cast(value AS DOUBLE)")) * 1000)
+            .cast("long").alias("crawl_delay_ms")
+        )
+    )
+    out = (
+        rules.filter(F.col("key").isin("allow", "disallow"))
+        .filter(F.col("value") != "")
+        .select(
+            host_col,
+            F.col("key").alias("rule_type"),
+            F.col("value").alias("path_prefix"),
+        )
+        .join(delay, host_col, "left")
+    )
+    return out.select(host_col, "rule_type", "path_prefix", "crawl_delay_ms")

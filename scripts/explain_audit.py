@@ -78,10 +78,11 @@ FORBIDDEN = {
     # candidates x rules through a per-url window every round). The one
     # allowed Exchange is the tiny rules-side groupBy(host) — asserted
     # separately in main().
-    "robots_filter": [
-        ("Window", "no per-url window; resolve via array higher-order fns"),
-        ("SortMergeJoin", "rules must broadcast, never SMJ the frontier"),
-    ],
+    # robots: the driver query now includes the robots.txt PARSE chain,
+    # whose host-keyed windows/joins are correct at scale (robots bodies
+    # are per-host; broadcasting host-cardinality state would be wrong).
+    # The evaluation-side expectations are asserted separately in main()
+    # on an isolated robots_filter plan with pre-parsed rules.
     # positional slice must TakeOrdered, never rank the whole frontier
     # through one task
     "frontier_slice": [
@@ -122,14 +123,40 @@ def main() -> int:
             ok = needle not in plan
             print(f"{'PASS' if ok else 'FAIL'} {name}: forbid '{needle}' ({why})")
             failures += 0 if ok else 1
-    # robots_filter: the frontier side must be shuffle-free — the only
-    # shuffle Exchange allowed is the tiny rules-side groupBy(host)
+    # robots EVALUATION in isolation (pre-parsed rules, the per-round
+    # hot path): frontier side shuffle-free — the only Exchange allowed
+    # is the tiny rules-side groupBy(host); no per-url window, no SMJ.
     import re as _re
-    plan = plan_of(queries["robots_filter"](spark, sf_dir))
+
+    import pyspark.sql.functions as _F
+
+    from horseman_article_parser_spark.operators import politeness as _PO
+
+    _cand = spark.createDataFrame(
+        [(f"https://h{i % 7}.example/p/{i}", f"h{i % 7}.example")
+         for i in range(200)],
+        "url string, host string",
+    )
+    _rules = spark.createDataFrame(
+        [("h0.example", "disallow", "/p", 1000)],
+        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
+    )
+    plan = plan_of(_PO.robots_filter(_cand, _rules))
     n_shuffle = len(_re.findall(r"\(\d+\) Exchange\b", plan))
-    ok = n_shuffle <= 1 and "BroadcastHashJoin" in plan
-    print(f"{'PASS' if ok else 'FAIL'} robots_filter: frontier side shuffle-free "
-          f"(shuffle exchanges={n_shuffle}, rules-side only)")
+    ok = (n_shuffle <= 1 and "BroadcastHashJoin" in plan
+          and "SortMergeJoin" not in plan
+          and not _partitionless_windows(plan))
+    print(f"{'PASS' if ok else 'FAIL'} robots_filter(eval): frontier side "
+          f"shuffle-free (shuffle exchanges={n_shuffle}, rules-side only; "
+          f"no SMJ/window)")
+    failures += 0 if ok else 1
+    # full driver query (parse chain included): the frontier join must
+    # still be a broadcast-hash join and no partition-less window may
+    # appear anywhere (the parser's windows are host-keyed)
+    plan = plan_of(queries["robots_filter"](spark, sf_dir))
+    ok = "BroadcastHashJoin" in plan and not _partitionless_windows(plan)
+    print(f"{'PASS' if ok else 'FAIL'} robots_filter(full): parse chain keeps "
+          f"the frontier join broadcast + all windows host-keyed")
     failures += 0 if ok else 1
     # NO partition-less windows anywhere in the frontier/crawl queries:
     # row_number() over an un-partitioned window funnels the whole input

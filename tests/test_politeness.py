@@ -125,3 +125,65 @@ def test_token_buckets_accumulate_and_cap(spark, tmp_path):
     by_host = {r.host: r["count"] for r in w1}
     assert by_host["b.x"] == 4         # accumulated two rounds of refill
     assert by_host["a.x"] == 2         # steady refill only
+
+
+def test_parse_robots_txt_groups_and_agent_precedence(spark):
+    """robots.txt parsing: stacked User-agent headers, specific-agent
+    group overriding *, comments/blank lines, empty Disallow ignored,
+    Crawl-delay propagated."""
+    from horseman_article_parser_spark.operators.politeness import (
+        parse_robots_txt,
+    )
+
+    txt_a = (
+        "# friendly crawlers welcome\n"
+        "User-agent: googlebot\n"
+        "User-agent: horseman\n"
+        "Disallow: /private\n"
+        "Allow: /private/press\n"
+        "Crawl-delay: 2\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    txt_b = (
+        "User-agent: *\n"
+        "Disallow:\n"          # empty = allow all, ignored
+        "Disallow: /tmp\n"
+    )
+    txt_c = "User-agent: otherbot\nDisallow: /\n"  # no matching group
+    files = spark.createDataFrame(
+        [("a.example", txt_a), ("b.example", txt_b), ("c.example", txt_c)],
+        ["host", "robots_txt"],
+    )
+    rows = parse_robots_txt(files, agent="horseman").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    a = {(r.rule_type, r.path_prefix, r.crawl_delay_ms) for r in by_host["a.example"]}
+    # the horseman group wins over *, so '/' disallow must NOT appear
+    assert a == {("disallow", "/private", 2000), ("allow", "/private/press", 2000)}
+    b = {(r.rule_type, r.path_prefix, r.crawl_delay_ms) for r in by_host["b.example"]}
+    assert b == {("disallow", "/tmp", None)}
+    assert "c.example" not in by_host
+
+
+def test_parse_robots_feeds_robots_filter(spark):
+    """End-to-end: raw robots.txt -> rules -> candidate filtering."""
+    from horseman_article_parser_spark.operators.politeness import (
+        parse_robots_txt,
+        robots_filter,
+    )
+
+    files = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /admin\n")],
+        ["host", "robots_txt"],
+    )
+    cand = spark.createDataFrame(
+        [("https://h.example/admin/x", "h.example"),
+         ("https://h.example/story/y", "h.example")],
+        ["url", "host"],
+    )
+    rules = parse_robots_txt(files)
+    kept = [r.url for r in robots_filter(cand, rules).collect()]
+    assert kept == ["https://h.example/story/y"]
