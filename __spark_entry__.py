@@ -233,12 +233,15 @@ def q_url_filters(spark, sf_dir):
 
 def q_url_transforms(spark, sf_dir):
     """F5 canonicalize + F6 prefix rewrites + S7 AMP static candidates
-    as one per-URL transform surface over the synthesized frontier:
-    `canonical` normalizes a deliberately-messy raw form, `rewritten`
-    applies the first-match rewrite rules, `amp_1`/`amp_2` are the
-    first two AMP variants of the canonical URL."""
+    + F13 data:URL sanitize as one per-URL transform surface over the
+    synthesized frontier: `canonical` normalizes a deliberately-messy
+    raw form, `rewritten` applies the first-match rewrite rules,
+    `amp_1`/`amp_2` are the first two AMP variants, and
+    `data_html`/`data_url` run the base64-decode → script-strip →
+    re-encode chain on a by-construction data: URL."""
     from horseman_article_parser_spark.functions.urls import (
         apply_url_rewrites_col,
+        sanitize_data_url_cols,
     )
 
     fr = _frontier(_prep(spark), sf_dir)
@@ -252,12 +255,24 @@ def q_url_transforms(spark, sf_dir):
         ("https://src1.example.com/en/", "https://src1.example.com/english/"),
     ]
     amp = amp_candidates_udf(F.col("url"))
+    embedded = F.concat(
+        F.lit("<html><body><script>track()</script><p>Doc "),
+        F.col("seq").cast("string"), F.lit("</p></body></html>"),
+    )
+    data_url = F.concat(
+        F.lit("data:text/html;base64,"), F.base64(F.encode(embedded, "UTF-8"))
+    )
+    fr = fr.withColumn("_du", data_url)
+    data_html, data_url_out = sanitize_data_url_cols(F.col("_du"),
+                                                     js_enabled=False)
     return fr.select(
         "seq", "url",
         canonicalize_url_udf(raw).alias("canonical"),
         apply_url_rewrites_col("url", rules).alias("rewritten"),
         F.element_at(amp, 1).alias("amp_1"),
         F.element_at(amp, 2).alias("amp_2"),
+        data_html.alias("data_html"),
+        data_url_out.alias("data_url"),
     )
 
 
@@ -2305,7 +2320,12 @@ SELECT 'likely' AS kind, doc_id, url, (doc_id % 6 IN (2, 4)) AS flag
 FROM paths
 """.strip(),
         "url_transforms": f"""
-WITH {FRONTIER_CTE}
+WITH {FRONTIER_CTE},
+d AS (
+  SELECT seq, url,
+         '<html><body><p>Doc ' || seq || '</p></body></html>' AS clean_html
+  FROM frontier
+)
 SELECT seq, url,
        'https://h' || (seq % 20) || '.example.com/Path/' || seq || '?q=1' AS canonical,
        (CASE WHEN url LIKE 'https://src0.example.com/%'
@@ -2314,8 +2334,10 @@ SELECT seq, url,
              THEN 'https://src1.example.com/english/' || substr(url, 29)
              ELSE url END) AS rewritten,
        url || '/amp' AS amp_1,
-       url || '/amp.html' AS amp_2
-FROM frontier
+       url || '/amp.html' AS amp_2,
+       clean_html AS data_html,
+       'data:text/html;base64,' || to_base64(encode(clean_html)) AS data_url
+FROM d
 """.strip(),
         "seen_antijoin": f"""
 WITH {FRONTIER_CTE}

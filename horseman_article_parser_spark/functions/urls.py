@@ -267,3 +267,31 @@ def apply_url_rewrites_col(url: Column | str, rewrites: list[tuple[str, str]]) -
         repl = F.concat(F.lit(to), F.substring(u, len(from_) + 1, 1 << 30))
         out = F.when(cond, repl) if out is None else out.when(cond, repl)
     return u if out is None else out.otherwise(u)
+
+
+def sanitize_data_url_cols(url: Column | str, js_enabled: bool = False
+                           ) -> tuple[Column, Column]:
+    """F13 data:URL sanitize (/root/reference/controllers/utils.js:11-28):
+    decode the payload (base64 or percent-encoded), strip <script>
+    elements when JavaScript is disabled, re-encode as a base64
+    data:text/html URL. Returns (sanitized_html, sanitized_url).
+
+    Pure Column algebra (base64/regexp built-ins), so it runs JVM-side
+    and renders to an exact DuckDB oracle."""
+    u = F.col(url) if isinstance(url, str) else url
+    comma = F.instr(u, ",")
+    meta = F.substring(u, 1, comma - 1)
+    payload = F.substr(u, comma + 1)
+    html = F.when(
+        meta.contains(";base64"), F.decode(F.unbase64(payload), "UTF-8")
+    ).otherwise(F.url_decode(payload))
+    sanitized = (
+        html
+        if js_enabled
+        else F.regexp_replace(html, r"(?i)<script[^>]*>[\s\S]*?</script>", "")
+    )
+    new_url = F.concat(
+        F.lit("data:text/html;base64,"),
+        F.base64(F.encode(sanitized, "UTF-8")),
+    )
+    return sanitized, new_url

@@ -69,3 +69,29 @@ def test_skip_and_keep_column_parity(spark):
         assert bool(r["skip"]) == want_skip, f"skip mismatch: {r['url']}"
         assert bool(r["keep"]) == keep_likely_article(r["url"]), f"keep mismatch: {r['url']}"
         assert r["canon"] == canonicalize_url(r["url"]), f"canon mismatch: {r['url']}"
+
+
+def test_sanitize_data_url(spark):
+    """F13 (utils.js:11-28 / utils.test.js): scripts stripped from
+    base64 data: URLs when JS is disabled, retained when enabled;
+    percent-encoded payloads decode too."""
+    import base64
+
+    import pyspark.sql.functions as F
+
+    from horseman_article_parser_spark.functions.urls import (
+        sanitize_data_url_cols,
+    )
+
+    sample = "<html><body><script>evil()</script><p>Safe</p></body></html>"
+    du = "data:text/html;base64," + base64.b64encode(sample.encode()).decode()
+    pct = "data:text/html,%3Cp%3EHi%3C%2Fp%3E"
+    df = spark.createDataFrame([(du,), (pct,)], ["u"])
+    h_off, u_off = sanitize_data_url_cols("u", js_enabled=False)
+    h_on, _ = sanitize_data_url_cols("u", js_enabled=True)
+    rows = df.select(h_off.alias("off"), u_off.alias("nu"),
+                     h_on.alias("on")).collect()
+    assert rows[0].off == "<html><body><p>Safe</p></body></html>"
+    assert "<script>" in rows[0].on
+    assert base64.b64decode(rows[0].nu.split(",")[1]).decode() == rows[0].off
+    assert rows[1].off == "<p>Hi</p>"
