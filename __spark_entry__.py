@@ -851,8 +851,8 @@ def q_minhash_lsh(spark, sf_dir):
     near-dup pipeline are oracle-checked by one query)."""
     docs = _load(_prep(spark), sf_dir, "documents")
     sigs = DD.minhash_signatures(docs, n_hashes=N_MINHASH)
-    buckets = DD.lsh_band_buckets(sigs, bands=4, rows_per_band=2)
-    return buckets.join(sigs, "doc_id")
+    return DD.lsh_band_buckets(sigs, bands=4, rows_per_band=2,
+                               carry_signature=True)
 
 
 SIMHASH_BITS = 16

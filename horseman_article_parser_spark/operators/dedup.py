@@ -123,9 +123,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, id_col: str = "doc_i
 
 
 def lsh_band_buckets(signatures: DataFrame, bands: int, rows_per_band: int,
-                     id_col: str = "doc_id") -> DataFrame:
-    """(band, bucket, doc_id): bucket = md5-hash of the band's signature
-    slice. Docs sharing (band, bucket) are near-dup candidates."""
+                     id_col: str = "doc_id",
+                     carry_signature: bool = False) -> DataFrame:
+    """(band, bucket, doc_id[, mh*]): bucket = md5-hash of the band's
+    signature slice. Docs sharing (band, bucket) are near-dup
+    candidates. carry_signature=True copies the mh columns through the
+    explode — cheaper than joining the signature table back onto the
+    exploded rows when a caller wants both."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     assert len(mh_cols) >= bands * rows_per_band
     # all bands in ONE pass: array of (band, bucket) structs → explode.
@@ -136,12 +140,14 @@ def lsh_band_buckets(signatures: DataFrame, bands: int, rows_per_band: int,
         slice_cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         key = F.concat_ws("_", *[c.cast("string") for c in slice_cols])
         entries.append(F.struct(F.lit(b).alias("band"), h32(key).alias("bucket")))
+    carry = [F.col(c) for c in mh_cols] if carry_signature else []
     return signatures.select(
-        F.explode(F.array(*entries)).alias("_bb"), F.col(id_col)
+        F.explode(F.array(*entries)).alias("_bb"), F.col(id_col), *carry
     ).select(
         F.col("_bb.band").alias("band"),
         F.col("_bb.bucket").alias("bucket"),
         F.col(id_col),
+        *[c for c in mh_cols] if carry_signature else [],
     )
 
 
