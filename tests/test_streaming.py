@@ -142,3 +142,52 @@ def test_streamed_seeds_carry_full_frontier_schema(spark, tmp_path):
     urls = {r["url"] for r in scheduled.collect()}
     assert stats["scheduled"] > 0
     assert "https://streamed.example/story-z" in urls or stats["scheduled"] >= 20
+
+
+def test_windowed_metrics_append_mode_drops_late_events(spark, tmp_path):
+    """T7 watermark semantics under APPEND output: a window emits once
+    the watermark passes its end, and an event arriving later than the
+    watermark allows is DROPPED — the emitted row never changes.
+    (The complete-mode test above can't see this: complete keeps all
+    state forever.)"""
+    src = tmp_path / "events_late"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "ts string, host string, status int, fetch_ms int"
+        ).select(F.col("ts").cast("timestamp").alias("event_time"),
+                 "host", "status", "fetch_ms")
+        df.write.parquet(str(src / name))
+
+    # batch 1: two events in the 00:00 window, then one far ahead at
+    # 00:10 that advances the watermark (10:00 - 2:00 = 08:00) past the
+    # 00:00 window's end so it finalizes and emits
+    write_batch("p0", [
+        ("2026-01-01 00:00:05", "h1.x", 200, 100),
+        ("2026-01-01 00:00:20", "h1.x", 500, 100),
+        ("2026-01-01 00:10:00", "h9.x", 200, 100),
+    ])
+    stream = spark.readStream.schema(
+        "event_time timestamp, host string, status int, fetch_ms int"
+    ).parquet(str(src) + "/*")
+    agg = windowed_host_metrics(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "lckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE event for the already-finalized 00:00 window —
+    # beyond the 2-minute watermark, it must be dropped
+    write_batch("p1", [("2026-01-01 00:00:30", "h1.x", 200, 100)])
+    q.processAllAvailable()
+    q.stop()
+    rows = [
+        r for r in spark.sql("SELECT * FROM late_metrics").collect()
+        if r.host == "h1.x"
+    ]
+    assert len(rows) == 1  # emitted exactly once, never re-emitted
+    assert (rows[0].scheduled, rows[0].ok, rows[0].err) == (2, 1, 1)
