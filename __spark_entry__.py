@@ -255,9 +255,15 @@ def q_url_transforms(spark, sf_dir):
         ("https://src1.example.com/en/", "https://src1.example.com/english/"),
     ]
     amp = amp_candidates_udf(F.col("url"))
+    # the sanitized payload must exceed one 76-char base64 line (57
+    # input bytes) so the oracle pins the CRLF-chunking fix in
+    # sanitize_data_url_cols (Spark's base64 MIME-wraps long output)
     embedded = F.concat(
         F.lit("<html><body><script>track()</script><p>Doc "),
-        F.col("seq").cast("string"), F.lit("</p></body></html>"),
+        F.col("seq").cast("string"),
+        F.lit(" carries a deliberately long paragraph of text so the "
+              "re-encoded base64 payload spans multiple MIME lines."
+              "</p></body></html>"),
     )
     data_url = F.concat(
         F.lit("data:text/html;base64,"), F.base64(F.encode(embedded, "UTF-8"))
@@ -265,12 +271,17 @@ def q_url_transforms(spark, sf_dir):
     fr = fr.withColumn("_du", data_url)
     data_html, data_url_out = sanitize_data_url_cols(F.col("_du"),
                                                      js_enabled=False)
+    # amp_q1/amp_q2 exercise the query-string MERGE branch (the canonical
+    # form carries ?q=1, so '&amp=1' / '&output=amp' must append)
+    amp_q = amp_candidates_udf(canonicalize_url_udf(raw))
     return fr.select(
         "seq", "url",
         canonicalize_url_udf(raw).alias("canonical"),
         apply_url_rewrites_col("url", rules).alias("rewritten"),
         F.element_at(amp, 1).alias("amp_1"),
         F.element_at(amp, 2).alias("amp_2"),
+        F.element_at(amp_q, 3).alias("amp_q1"),
+        F.element_at(amp_q, 4).alias("amp_q2"),
         data_html.alias("data_html"),
         data_url_out.alias("data_url"),
     )
@@ -745,7 +756,7 @@ def q_langid(spark, sf_dir):
         F.array(*[F.lit(LANG_SAMPLES[lang]) for lang in langs]),
         (F.col("doc_id") % len(langs)).cast("int") + 1,
     )
-    # materialize the normalized text ONCE: scoring 33 profiles against
+    # materialize the normalized text ONCE: scoring 52 profiles against
     # an inlined normalization repeats its regexp subtree ~1000× and
     # kicks the plan out of codegen (see trigram_lang_scores docstring)
     base = docs.select("doc_id", sample.alias("txt")).withColumn(
@@ -1734,7 +1745,17 @@ def q_crawl_two_rounds(spark, sf_dir):
     sched.run_round(1)
     w0 = sched.store.read(spark, "waves", 0).select("pos", "url", F.lit(0).alias("round"))
     w1 = sched.store.read(spark, "waves", 1).select("pos", "url", F.lit(1).alias("round"))
-    return w0.unionByName(w1)
+    # materialize the (tiny: 2×wave_size rows) result so every temp dir
+    # — store, seeds, streaming checkpoint — can be deleted NOW instead
+    # of leaking on each invocation; the returned frame no longer reads
+    # from disk
+    rows = w0.unionByName(w1).collect()
+    out = spark.createDataFrame(rows, "pos int, url string, round int")
+    import shutil
+
+    for d in (store, seeds_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 # pHash-variant masks for the image near-dup fixture: even ids get a
@@ -2323,7 +2344,10 @@ FROM paths
 WITH {FRONTIER_CTE},
 d AS (
   SELECT seq, url,
-         '<html><body><p>Doc ' || seq || '</p></body></html>' AS clean_html
+         '<html><body><p>Doc ' || seq ||
+         ' carries a deliberately long paragraph of text so the ' ||
+         're-encoded base64 payload spans multiple MIME lines.' ||
+         '</p></body></html>' AS clean_html
   FROM frontier
 )
 SELECT seq, url,
@@ -2335,6 +2359,8 @@ SELECT seq, url,
              ELSE url END) AS rewritten,
        url || '/amp' AS amp_1,
        url || '/amp.html' AS amp_2,
+       'https://h' || (seq % 20) || '.example.com/Path/' || seq || '?q=1&amp=1' AS amp_q1,
+       'https://h' || (seq % 20) || '.example.com/Path/' || seq || '?q=1&output=amp' AS amp_q2,
        clean_html AS data_html,
        'data:text/html;base64,' || to_base64(encode(clean_html)) AS data_url
 FROM d

@@ -76,6 +76,8 @@ def _force(df) -> int:
 
 
 def bench_queries(spark, queries):
+    from horseman_article_parser_spark.operators.dedup import release_cached
+
     times = {}
     for name in HEADLINE:
         fn = queries.get(name)
@@ -85,6 +87,8 @@ def bench_queries(spark, queries):
         t0 = time.monotonic()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
+        # drop operator-cached intermediates so queries stay independent
+        release_cached()
     return times
 
 

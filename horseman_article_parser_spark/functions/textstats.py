@@ -231,7 +231,8 @@ def trigram_lang_scores(text: Column | str,
     regexp subtree once per trigram count (2 × Σ|profiles| times),
     which blows the expression past whole-stage codegen's method-size
     limit and forces interpreted re-evaluation of the regexp per
-    occurrence — measured 4× slower at 33 profiles."""
+    occurrence — measured 4× slower when first hit at 33 profiles; the
+    shipped table is larger still."""
     p = profiles or LANG_TRIGRAMS
     norm = _c(text) if prenormalized else lang_normtext_col(text)
     out: dict[str, Column] = {}

@@ -277,21 +277,36 @@ def sanitize_data_url_cols(url: Column | str, js_enabled: bool = False
     data:text/html URL. Returns (sanitized_html, sanitized_url).
 
     Pure Column algebra (base64/regexp built-ins), so it runs JVM-side
-    and renders to an exact DuckDB oracle."""
+    and renders to an exact DuckDB oracle.
+
+    Parity gotchas handled here (each bit us or the review):
+    - Spark's base64() MIME-chunks its output with CRLF every 76 chars
+      (invalid inside a data: URL, and never equal to the reference's
+      unchunked Buffer encoding) — the CR/LF are stripped.
+    - url_decode() is form-urlencoded ('+' → space) and THROWS on
+      malformed percent sequences; decodeURIComponent keeps '+' and the
+      reference catches failures, returning ('', raw url). '+' is
+      pre-escaped and try_url_decode's NULL maps to that fallback."""
     u = F.col(url) if isinstance(url, str) else url
     comma = F.instr(u, ",")
     meta = F.substring(u, 1, comma - 1)
     payload = F.substr(u, comma + 1)
-    html = F.when(
-        meta.contains(";base64"), F.decode(F.unbase64(payload), "UTF-8")
-    ).otherwise(F.url_decode(payload))
-    sanitized = (
+    pct = F.call_function(
+        "try_url_decode", F.replace(payload, F.lit("+"), F.lit("%2B"))
+    )
+    html = F.when(meta.contains(";base64"),
+                  F.decode(F.unbase64(payload), "UTF-8")).otherwise(pct)
+    decoded_ok = html.isNotNull()
+    sanitized_core = (
         html
         if js_enabled
         else F.regexp_replace(html, r"(?i)<script[^>]*>[\s\S]*?</script>", "")
     )
-    new_url = F.concat(
-        F.lit("data:text/html;base64,"),
-        F.base64(F.encode(sanitized, "UTF-8")),
+    sanitized = F.when(decoded_ok, sanitized_core).otherwise(F.lit(""))
+    b64 = F.regexp_replace(
+        F.base64(F.encode(sanitized, "UTF-8")), r"[\r\n]", ""
     )
+    new_url = F.when(
+        decoded_ok, F.concat(F.lit("data:text/html;base64,"), b64)
+    ).otherwise(u)
     return sanitized, new_url

@@ -261,6 +261,27 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+# persisted intermediates registered by operators below; callers
+# release them after materializing results (bench does this between
+# timed queries to keep runs independent)
+_CACHED: list[DataFrame] = []
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate this module cached; returns the
+    count released. Safe to call at any point after the consuming
+    actions have run."""
+    n = 0
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def blocked_hamming_pairs(sig_df: DataFrame, sig_col: str, id_col: str,
                           bits: int, n_blocks: int, max_hamming: int,
                           max_bucket: int = 1000) -> DataFrame:
@@ -289,9 +310,13 @@ def blocked_hamming_pairs(sig_df: DataFrame, sig_col: str, id_col: str,
     # producer (e.g. image synthesis/decode) multiplies its cost by 20
     # (measured 34 s → 4 s on the 128-image fixture). The persisted form
     # is the NARROW (sig, id) projection only — 16 bytes/row, spillable.
+    # Persisted frames are tracked so long-lived sessions can reclaim
+    # the storage with release_cached() once results are materialized
+    # (an operator returning a lazy DataFrame cannot unpersist itself).
     members = sig_df.select(
         F.col(sig_col).alias("_sig"), F.col(id_col).alias("_id")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED.append(members)
     usig = members.select("_sig").distinct()
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1

@@ -210,7 +210,7 @@ def parse_robots_txt(robots_files: DataFrame, agent: str = "horseman",
             .cast("long").alias("crawl_delay_ms")
         )
     )
-    out = (
+    path_rules = (
         rules.filter(F.col("key").isin("allow", "disallow"))
         .filter(F.col("value") != "")
         .select(
@@ -220,4 +220,19 @@ def parse_robots_txt(robots_files: DataFrame, agent: str = "horseman",
         )
         .join(delay, host_col, "left")
     )
+    # a delay-only group ('User-agent: *\nCrawl-delay: 10' with no path
+    # rules — common in the wild) must still surface its delay:
+    # host_budgets reads crawl_delay_ms off rule rows, so emit a
+    # path-less 'delay' row for hosts with a delay but no path rules
+    # (robots_filter ignores NULL prefixes — startswith(NULL) is NULL)
+    delay_only = (
+        delay.join(path_rules.select(host_col).distinct(), host_col, "left_anti")
+        .select(
+            host_col,
+            F.lit("delay").alias("rule_type"),
+            F.lit(None).cast("string").alias("path_prefix"),
+            "crawl_delay_ms",
+        )
+    )
+    out = path_rules.unionByName(delay_only)
     return out.select(host_col, "rule_type", "path_prefix", "crawl_delay_ms")

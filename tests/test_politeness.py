@@ -187,3 +187,30 @@ def test_parse_robots_feeds_robots_filter(spark):
     rules = parse_robots_txt(files)
     kept = [r.url for r in robots_filter(cand, rules).collect()]
     assert kept == ["https://h.example/story/y"]
+
+
+def test_parse_robots_delay_only_group(spark):
+    """A delay-only robots.txt (no path rules) must still surface its
+    crawl delay to host_budgets; robots_filter must ignore the
+    path-less row."""
+    from horseman_article_parser_spark.operators.politeness import (
+        host_budgets,
+        parse_robots_txt,
+        robots_filter,
+    )
+
+    files = spark.createDataFrame(
+        [("slow.example", "User-agent: *\nCrawl-delay: 10\n")],
+        ["host", "robots_txt"],
+    )
+    rules = parse_robots_txt(files)
+    rows = rules.collect()
+    assert len(rows) == 1
+    assert rows[0].rule_type == "delay" and rows[0].path_prefix is None
+    assert rows[0].crawl_delay_ms == 10000
+    budgets = {r["host"]: r["_budget"] for r in host_budgets(rules).collect()}
+    assert budgets["slow.example"] == 6  # 60s / 10s
+    cand = spark.createDataFrame(
+        [("https://slow.example/a", "slow.example")], ["url", "host"]
+    )
+    assert robots_filter(cand, rules).count() == 1  # nothing disallowed

@@ -78,7 +78,7 @@ def test_keywords_topk_deterministic_ties(spark):
 
 
 def test_trigram_langid_detects_all_profile_languages(spark):
-    """N1 trigram model: every LANG_SAMPLES sentence (33 languages,
+    """N1 trigram model: every LANG_SAMPLES sentence (52 languages,
     incl. Cyrillic/Greek/Japanese scripts) must detect as itself, with
     the reference's iso6391+iso6393 pair (language.js:6-13,26-46)."""
     import __spark_entry__ as entry
