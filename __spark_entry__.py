@@ -1497,10 +1497,10 @@ def q_reranker_train(spark, sf_dir):
         ([r[f"v{i}"] for i in range(RERANKER_N_DIMS)], r["label"]) for r in rows
     ]
     weights = train_gd(data, lr=0.05, epochs=250, l2=0.001)
-    out = [(i, round(w, 6)) for i, w in enumerate(weights["weights"])] + [
-        (-1, round(weights["bias"], 6))
+    out = [(i, int(round(round(w, 6) * 1_000_000))) for i, w in enumerate(weights["weights"])] + [
+        (-1, int(round(round(weights["bias"], 6) * 1_000_000)))
     ]
-    return spark.createDataFrame(out, "dim int, weight double")
+    return spark.createDataFrame(out, "dim int, weight_x1e6 bigint")
 
 
 # Summary-oracle sentences (W5/N6): a single-paragraph 6-sentence doc
@@ -2535,8 +2535,11 @@ SELECT doc_id, 5 AS n_sentences,
 FROM documents
 """.strip(),
         "reranker_train": "SELECT * FROM (VALUES "
-        + ", ".join(f"({d}, CAST({w!r} AS DOUBLE))" for d, w in _oracle_gd_weights())
-        + ") AS t(dim, weight)",
+        + ", ".join(
+            f"({d}, CAST({int(round(w * 1_000_000))} AS BIGINT))"
+            for d, w in _oracle_gd_weights()
+        )
+        + ") AS t(dim, weight_x1e6)",
         "keywords_topk": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
@@ -2857,7 +2860,7 @@ GROUP BY label, d
         "event_hourly": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_x100
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
 FROM events GROUP BY 1, 2
 """.strip(),
         "text_render": """
@@ -2894,8 +2897,8 @@ FROM documents
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
        'h' || (user_id % 5) || '.example.com' AS host,
        count(*) AS scheduled,
-       sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS ok,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS BIGINT) AS ok,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
        CAST(round(avg(CAST(floor(value * 100) AS INT)) * 10000) AS BIGINT) AS avg_ms_x1e4
 FROM events GROUP BY 1, 2
 """.strip(),
@@ -2906,9 +2909,9 @@ WITH g AS (
   FROM events
 ), s AS (
   SELECT user_id, event_id, ts,
-         sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM g
 )
 SELECT user_id, session_idx, count(*) AS n_events,
@@ -2930,9 +2933,9 @@ FROM e
 """.strip(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_x100,
-       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_x100,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_x100,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_x100,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2951,14 +2954,14 @@ FROM r WHERE rank <= 3
 """.strip(),
         "revenue_by_nation": """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_x100
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_x100
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """.strip(),
         "part_type_stats": """
-SELECT p_type, count(*) AS n_items, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+SELECT p_type, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
 """.strip(),

@@ -7,18 +7,19 @@ signatures) is real and tested:
 
 - ``png``  — a REAL minimal PNG codec (RGB8, zlib stdlib). Lossless:
   decode(encode(x)) == x exactly.
-- ``jpeg`` — stands for "lossy payload". Real JPEG entropy coding needs
-  an image lib, so we use a deterministic quantize+deflate container
-  (magic ``QJPG``) whose reconstruction error is bounded by the
-  quantization step: q=4 → PSNR ≈ 47 dB, satisfying the ≥40 dB
-  decoded-pixel invariant from BASELINE.json input_hint. Bytes that
-  look like a real JPEG (SOI marker 0xFFD8) raise NotImplementedError —
-  clearly marked stub per the brief.
+- ``jpeg`` — REAL baseline JPEG as of round 4 (``codecs/jpeg.py``: pure
+  numpy huffman+DCT encoder/decoder; SOI bytes decode for real, the old
+  NotImplementedError stub is gone). The deterministic quantize+deflate
+  ``QJPG`` container from rounds 1-3 remains decode-able (legacy
+  payloads + a fast lossy stand-in for tests), but the datagen now emits
+  real JPEG for its lossy rows.
 
 Reference parity: the reference captures JPEG screenshots at quality 40
 (/root/reference/index.js:758) and its tests decode them pixel-wise
-(/root/reference/tests/parseArticle.test.js:118-123); our PSNR≥40dB
-allclose check is the columnar restatement of that pixel assertion.
+(/root/reference/tests/parseArticle.test.js:118-123); codecs/jpeg.py
+round-trips that exact quality and tests/test_codecs.py pins it, while
+the payload table's PSNR≥40dB allclose check is the columnar
+restatement of the pixel assertion.
 """
 
 from __future__ import annotations
@@ -101,19 +102,20 @@ def _decode_lossy(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode a payload-table `bytes` cell to an (h, w, 3) uint8 array."""
+    """Decode a payload-table `bytes` cell to an (h, w, 3) uint8 array.
+
+    Dispatches on magic bytes: PNG (real minimal codec here), QJPG (the
+    legacy deterministic lossy container, kept decode-able), and REAL
+    baseline JPEG via codecs.jpeg (round 4 — replaces the former
+    NotImplementedError stub; huffman+IDCT, pure numpy)."""
     if data.startswith(_PNG_SIG):
         return _decode_png(data)
     if data.startswith(_QJPG_MAGIC):
         return _decode_lossy(data)
     if data.startswith(_JPEG_SOI):
-        # STUB (clearly marked): real JPEG entropy decode needs an image
-        # library that this container does not ship. The Spark plumbing
-        # (binary column → Arrow batch → this dispatch) is identical.
-        raise NotImplementedError(
-            "real JPEG decode requires an image library (not in container); "
-            "lossy payloads in this engine use the deterministic QJPG container"
-        )
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError("unknown image container")
 
 

@@ -25,7 +25,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..codecs.images import encode_lossy, encode_png, phash64
+from ..codecs.images import encode_png, phash64
+from ..codecs.jpeg import encode_jpeg
+
+# Lossy rows carry REAL baseline JPEG (round 4). Quality 90 rather than
+# the reference's screenshot quality 40 (index.js:758) because the
+# payload-table invariant here is PSNR>=40dB vs the PRE-ENCODE original
+# (strictly harder than the north rule's decoder-vs-decoder allclose on
+# identical bytes) and the band-pattern synthetics sit at ~34dB under
+# q40; the q40 reference setting itself is pinned by tests/test_codecs.py.
+JPEG_QUALITY = 90
 
 IMAGES_SCHEMA = T.StructType(
     [
@@ -85,7 +94,7 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
         i = int(i)
         px, w, h = synth_pixels(i)
         fmt = "png" if i % 2 == 0 else "jpeg"
-        data = encode_png(px) if fmt == "png" else encode_lossy(px)
+        data = encode_png(px) if fmt == "png" else encode_jpeg(px, JPEG_QUALITY)
         rows.append(
             {
                 "image_id": image_id_for(i),
@@ -102,7 +111,10 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
 
 def build_images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic images table of `n` rows."""
-    base = spark.range(0, n, 1, partitions or min(32, max(1, n // 64 or 1)))
+    # default to ~8 ids per partition: JPEG entropy coding is the one
+    # python-loop kernel in the engine, so small tables must still fan
+    # out across cores instead of serializing on one task
+    base = spark.range(0, n, 1, partitions or min(32, max(1, n // 8)))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

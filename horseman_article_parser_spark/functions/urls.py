@@ -286,7 +286,14 @@ def sanitize_data_url_cols(url: Column | str, js_enabled: bool = False
     - url_decode() is form-urlencoded ('+' → space) and THROWS on
       malformed percent sequences; decodeURIComponent keeps '+' and the
       reference catches failures, returning ('', raw url). '+' is
-      pre-escaped and try_url_decode's NULL maps to that fallback."""
+      pre-escaped and try_url_decode's NULL maps to that fallback.
+    - base64 payloads that decode to invalid UTF-8 (or are not base64 at
+      all) must fold into the same ('', raw url) fallback — the
+      reference's Buffer→toString→try/catch path never emits mojibake.
+      try_to_binary gives NULL on malformed base64 (unbase64 would throw
+      under ANSI), and is_valid_utf8 over the reinterpreting binary→
+      string cast rejects non-UTF-8 bytes (decode() would emit
+      replacement characters in non-ANSI mode / throw in ANSI)."""
     u = F.col(url) if isinstance(url, str) else url
     comma = F.instr(u, ",")
     meta = F.substring(u, 1, comma - 1)
@@ -294,8 +301,12 @@ def sanitize_data_url_cols(url: Column | str, js_enabled: bool = False
     pct = F.call_function(
         "try_url_decode", F.replace(payload, F.lit("+"), F.lit("%2B"))
     )
-    html = F.when(meta.contains(";base64"),
-                  F.decode(F.unbase64(payload), "UTF-8")).otherwise(pct)
+    b64_bin = F.try_to_binary(payload, F.lit("base64"))
+    b64_str = b64_bin.cast("string")  # reinterprets bytes, no validation
+    b64_html = F.when(
+        F.call_function("is_valid_utf8", b64_str), b64_str
+    )
+    html = F.when(meta.contains(";base64"), b64_html).otherwise(pct)
     decoded_ok = html.isNotNull()
     sanitized_core = (
         html

@@ -225,7 +225,13 @@ def sample_frames(videos: DataFrame, every_n: int = 30,
     """Frame sampling: demux the container, decode every `every_n`-th
     frame, emit its metadata + pHash (and the PNG-encoded pixels when
     with_pixels=True — default off so the narrow feature path never
-    ships frame bytes back to the JVM)."""
+    ships frame bytes back to the JVM).
+
+    Failure semantics match `audio_features`: a corrupt / truncated /
+    compressed-codec payload (mp4/webm stubs raise NotImplementedError,
+    bad HVID raises struct/zlib errors) yields a single marker row
+    (frame_idx=-1, decode_ok semantics via w=h=0) instead of killing the
+    whole corpus scan (ADVICE r3)."""
     from ..codecs.images import encode_png
     from ..codecs.video import decode_frames
 
@@ -237,7 +243,15 @@ def sample_frames(videos: DataFrame, every_n: int = 30,
                 continue
             rows = []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
-                for idx, px in decode_frames(bytes(data), every_n):
+                try:
+                    frames = list(decode_frames(bytes(data), every_n))
+                except Exception:
+                    rows.append(
+                        {"video_id": vid, "frame_idx": -1, "w": 0, "h": 0,
+                         "frame_phash": 0, "frame": None}
+                    )
+                    continue
+                for idx, px in frames:
                     rows.append(
                         {
                             "video_id": vid,

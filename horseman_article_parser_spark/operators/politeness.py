@@ -163,16 +163,24 @@ def parse_robots_txt(robots_files: DataFrame, agent: str = "horseman",
     w_host = Window.partitionBy(host_col).orderBy("line_no")
     lines = robots_files.select(
         F.col(host_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+        # normalize CRLF / lone CR before splitting — real-world robots.txt
+        # is very often CRLF and a trailing \r would otherwise ride every
+        # agent name and path prefix, silently disabling the host's rules
+        F.posexplode(
+            F.split(F.regexp_replace(F.col(text_col), r"\r\n?", "\n"), "\n")
+        ).alias("line_no", "raw"),
     ).select(
         host_col, "line_no",
-        # strip comments + whitespace
-        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+        # strip comments + whitespace (incl. tabs)
+        F.regexp_replace(
+            F.trim(F.regexp_replace("raw", r"#.*$", "")), r"^[\t ]+|[\t ]+$", ""
+        ).alias("line"),
     ).filter(F.col("line") != "")
+    _strip = lambda c: F.regexp_replace(c, r"^[\t ]+|[\t ]+$", "")  # noqa: E731
     kv = lines.select(
         host_col, "line_no",
-        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
-        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
+        F.lower(_strip(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
+        _strip(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
     ).filter(F.col("key") != "")
     is_ua = (F.col("key") == "user-agent").cast("int")
     prev_ua = F.lag(is_ua, 1, 0).over(w_host)

@@ -21,6 +21,11 @@ import __spark_entry__ as entry  # noqa: E402
 from horseman_article_parser_spark.session import get_spark  # noqa: E402
 
 
+# Every oracle column must be one of these exact-comparable DuckDB types;
+# floats/HUGEINT/DECIMAL hash differently driver-side (VERDICT r3 §wrong#1).
+ALLOWED_ORACLE_TYPES = {"BIGINT", "INTEGER", "VARCHAR", "BOOLEAN"}
+
+
 def normalize_cell(v):
     if v is None:
         return None
@@ -73,9 +78,22 @@ def main():
         try:
             rel = con.sql(oracles[name])
             d_cols = [c.lower() for c in rel.columns]
+            d_types = [str(t) for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        # Type lint: the driver's value hash is dtype-sensitive (HUGEINT /
+        # DECIMAL / DOUBLE serialize differently from Spark's BIGINT), so
+        # every oracle column must land in the exact-comparable set.
+        bad_types = [
+            (c, t)
+            for c, t in zip(d_cols, d_types)
+            if t not in ALLOWED_ORACLE_TYPES
+        ]
+        if bad_types:
+            print(f"FAIL {name}: TYPELINT non-exact oracle column types: {bad_types}")
             n_fail += 1
             continue
         sc, sr = df_rows([c.lower() for c in s_cols], s_rows)

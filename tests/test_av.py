@@ -106,3 +106,30 @@ def test_av_features_no_binary_in_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes" not in line and "frame#" not in line, line
+
+
+def test_sample_frames_corrupt_payload_marker_row(spark):
+    """A corrupt / compressed / truncated video payload must yield one
+    marker row (frame_idx=-1, w=h=0) instead of failing the whole scan —
+    the same failure semantics as audio_features (ADVICE r3)."""
+    from horseman_article_parser_spark.operators.multimodal import sample_frames
+
+    good = build_videos_table(spark, 1)
+    bad = spark.createDataFrame(
+        [
+            ("vid-corrupt", bytearray(b"\x00\x00\x00\x18ftypmp42garbage")),  # mp4 stub
+            ("vid-trunc", bytearray(b"HVID\x01\x02")),                       # truncated
+        ],
+        good.select("video_id", "bytes").schema,
+    )
+    out = sample_frames(good.select("video_id", "bytes").unionByName(bad),
+                        every_n=10).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.video_id, []).append(r)
+    # the good video still decodes fully
+    assert all(r.frame_idx >= 0 for r in by_vid["vid-00000000"])
+    for vid in ("vid-corrupt", "vid-trunc"):
+        rows = by_vid[vid]
+        assert len(rows) == 1
+        assert (rows[0].frame_idx, rows[0].w, rows[0].h) == (-1, 0, 0)

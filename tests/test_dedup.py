@@ -155,10 +155,15 @@ def test_embedding_near_dups_plan_never_shuffles_vectors_on_bucket(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     plan = embedding_near_dups(
         df, threshold=0.99, n_planes=4, seed=7
-    )._jdf.queryExecution().optimizedPlan().toString()
+    )._jdf.queryExecution().executedPlan().toString()
     # the bucket-keyed exchanges must not carry the embedding column;
     # vectors appear only below id-keyed joins (textual heuristic: no
-    # 'embedding' reference inside a hashpartitioning on bucket)
-    for line in plan.splitlines():
-        if "hashpartitioning(bucket" in line:
-            assert "embedding" not in line
+    # 'embedding' reference inside a hashpartitioning on bucket).
+    # executedPlan (not optimizedPlan — the logical plan never prints
+    # partitioning, which made the pre-r4 version of this test vacuous).
+    bucket_lines = [
+        line for line in plan.splitlines() if "hashpartitioning(bucket" in line
+    ]
+    assert bucket_lines, plan  # the bucket shuffle must actually exist
+    for line in bucket_lines:
+        assert "embedding" not in line, line

@@ -214,3 +214,47 @@ def test_parse_robots_delay_only_group(spark):
         [("https://slow.example/a", "slow.example")], ["url", "host"]
     )
     assert robots_filter(cand, rules).count() == 1  # nothing disallowed
+
+
+def test_parse_robots_txt_crlf_and_tabs(spark):
+    """CRLF robots.txt bodies (the common wild case) must parse exactly
+    like LF ones: no trailing \\r on agent names or path prefixes, and
+    tab-separated values are trimmed (ADVICE r3)."""
+    from horseman_article_parser_spark.operators.politeness import (
+        parse_robots_txt,
+        robots_filter,
+    )
+
+    txt = (
+        "User-agent: horseman\r\n"
+        "Disallow:\t/admin\r\n"
+        "Allow: /admin/public\r\n"
+        "Crawl-delay: 3\r\n"
+        "\r\n"
+        "User-agent: *\r\n"
+        "Disallow: /\r\n"
+    )
+    # lone-CR line endings (old-Mac style) must also normalize
+    txt_cr = "User-agent: *\rDisallow: /private\r"
+    files = spark.createDataFrame(
+        [("crlf.example", txt), ("cr.example", txt_cr)],
+        ["host", "robots_txt"],
+    )
+    rules = parse_robots_txt(files, agent="horseman")
+    by_host = {}
+    for r in rules.collect():
+        by_host.setdefault(r.host, []).append(r)
+    got = {(r.rule_type, r.path_prefix, r.crawl_delay_ms)
+           for r in by_host["crlf.example"]}
+    assert got == {("disallow", "/admin", 3000), ("allow", "/admin/public", 3000)}
+    got_cr = {(r.rule_type, r.path_prefix) for r in by_host["cr.example"]}
+    assert got_cr == {("disallow", "/private")}
+    cand = spark.createDataFrame(
+        [("https://crlf.example/admin/x", "crlf.example"),
+         ("https://crlf.example/admin/public/y", "crlf.example"),
+         ("https://crlf.example/story", "crlf.example")],
+        ["url", "host"],
+    )
+    kept = sorted(r.url for r in robots_filter(cand, rules).collect())
+    assert kept == ["https://crlf.example/admin/public/y",
+                    "https://crlf.example/story"]

@@ -95,3 +95,32 @@ def test_sanitize_data_url(spark):
     assert "<script>" in rows[0].on
     assert base64.b64decode(rows[0].nu.split(",")[1]).decode() == rows[0].off
     assert rows[1].off == "<p>Hi</p>"
+
+
+def test_sanitize_data_url_malformed_payloads_fallback(spark):
+    """Base64 payloads that are not valid base64 OR decode to invalid
+    UTF-8 must fold into the reference's try/catch fallback
+    ('', raw url) — never mojibake, never an ANSI throw (ADVICE r3;
+    utils.js:11-28 Buffer→toString→catch)."""
+    import base64
+
+    from horseman_article_parser_spark.functions.urls import (
+        sanitize_data_url_cols,
+    )
+
+    bad_utf8 = ("data:text/html;base64,"
+                + base64.b64encode(b"\xff\xfe<p>x</p>").decode())
+    not_b64 = "data:text/html;base64,!!!not-base64!!!"
+    bad_pct = "data:text/html,%ZZbroken"
+    good = ("data:text/html;base64,"
+            + base64.b64encode(b"<p>fine</p>").decode())
+    df = spark.createDataFrame(
+        [(bad_utf8,), (not_b64,), (bad_pct,), (good,)], ["u"]
+    )
+    h, nu = sanitize_data_url_cols("u", js_enabled=False)
+    rows = df.select(F.col("u"), h.alias("h"), nu.alias("nu")).collect()
+    for r in rows[:3]:
+        assert r.h == "", r
+        assert r.nu == r.u, r  # raw url passes through untouched
+    assert rows[3].h == "<p>fine</p>"
+    assert rows[3].nu.startswith("data:text/html;base64,")
