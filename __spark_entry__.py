@@ -1706,15 +1706,42 @@ def q_windowed_metrics(spark, sf_dir):
     )
 
 
+CRAWL_Q_STREAMED_SEEDS = [f"https://streamed.example/late/{i}" for i in range(8)]
+
+
+def _crawl_two_rounds_oracle_rows() -> list[tuple[int, str, int]]:
+    """Replay the pure-Python reference-scheduler simulator
+    (plans/reference_sim.py, order-pinned by tests/test_crawl.py) over
+    the SAME 120 seeds + the 8 streamed seeds the Spark query ingests
+    mid-run, yielding the expected (pos, url, round) rows — the
+    replayed-datagen VALUES-oracle pattern from av_features, closing
+    the last rows-only gap (VERDICT r3 next-round #3)."""
+    from horseman_article_parser_spark.datagen.frontier import seed_urls
+    from horseman_article_parser_spark.plans.reference_sim import sim_crawl
+
+    waves = sim_crawl(
+        seed_urls(120), 2, wave_size=30, round0_limit=30,
+        default_host_budget=2,
+        streamed_seeds={0: CRAWL_Q_STREAMED_SEEDS},
+    )
+    return [
+        (pos, url, rnd)
+        for rnd, wave in enumerate(waves)
+        for pos, url in enumerate(wave)
+    ]
+
+
 def q_crawl_two_rounds(spark, sf_dir):
     """Two scheduling rounds of the full crawl loop (synthetic web,
     bloom seen-filter, politeness, priority waves) WITH a live
     Structured Streaming seed ingest between the rounds: a seed file
     dropped after round 0 arrives through readStream → foreachBatch →
     seen-filter claim → pending append (T1/T6), and those URLs must be
-    scheduled in round 1's wave. Rows-only check (stateful multi-round);
-    order parity and streamed-seed scheduling are pytest-verified
-    (tests/test_crawl.py, tests/test_streaming.py)."""
+    scheduled in round 1's wave. EXACT oracle: the pure-Python
+    scheduler simulator replays the same seeds + streamed batch and the
+    expected (pos, url, round) rows are inlined as VALUES
+    (_crawl_two_rounds_oracle_rows); order parity is additionally
+    pytest-pinned (tests/test_crawl.py, tests/test_streaming.py)."""
     import os
 
     from horseman_article_parser_spark.datagen.frontier import build_seed_frontier
@@ -1735,9 +1762,7 @@ def q_crawl_two_rounds(spark, sf_dir):
     sched.run_round(0)
     # drop streamed seeds mid-run; a live streaming query ingests them
     with open(os.path.join(seeds_dir, "late-seeds.txt"), "w") as fh:
-        fh.write("\n".join(
-            f"https://streamed.example/late/{i}" for i in range(8)
-        ))
+        fh.write("\n".join(CRAWL_Q_STREAMED_SEEDS))
     ingest = StreamingSeedIngest(sched)
     sq = ingest.start(seeds_dir, ckpt_dir)
     sq.processAllAvailable()
@@ -2965,6 +2990,10 @@ SELECT p_type, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGI
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
 """.strip(),
-        # crawl_two_rounds, image_features: non-SQL-expressible (stateful
-        # multi-round crawl; binary decode) — rows-only checks by design.
+        "crawl_two_rounds": "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(CAST({pos} AS INT), '{url}', CAST({rnd} AS INT))"
+            for pos, url, rnd in _crawl_two_rounds_oracle_rows()
+        )
+        + ") AS t(pos, url, round)",
     }

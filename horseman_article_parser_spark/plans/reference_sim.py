@@ -25,6 +25,7 @@ from ..operators.extract import extract_article
 
 SEQ_STRIDE = 1 << 40
 LINK_POS_STRIDE = 1 << 10  # must match plans.crawl.LINK_POS_STRIDE
+STREAM_SEQ_BASE = 1 << 60  # must match streaming.frontier_stream
 
 
 def js_url_host(u: str) -> str | None:
@@ -81,10 +82,19 @@ def sim_crawl(
     max_depth: int = 8,
     host_budget_overrides: dict[str, int] | None = None,
     disallow: list[tuple[str, str]] | None = None,  # (host, path_prefix)
+    streamed_seeds: dict[int, list[str]] | None = None,
 ) -> list[list[str]]:
-    """Full multi-round simulation; returns scheduled URLs per round."""
+    """Full multi-round simulation; returns scheduled URLs per round.
+
+    `streamed_seeds[r]` is a seed batch that arrives AFTER round r
+    completes (the streaming ingest between rounds, T6): it replays
+    `StreamingSeedIngest.process_batch` exactly — canonicalize →
+    skip-filter → dedup → claim-unseen → url-order rank → seq =
+    STREAM_SEQ_BASE + idx, depth 0, priority 0.0 — making the stateful
+    two-round driver query (`crawl_two_rounds`) oracle-checkable."""
     overrides = host_budget_overrides or {}
     disallow = disallow or []
+    streamed_seeds = streamed_seeds or {}
     wave0 = sim_wave0(seed_list, round0_limit)
     # frontier rows: (url, seq, host, depth, priority)
     pending = [
@@ -144,4 +154,19 @@ def sim_crawl(
             # arithmetic order-preserving seq — mirrors plans.crawl
             seq = (rnd + 1) * SEQ_STRIDE + parent_pos * LINK_POS_STRIDE + pos
             pending.append((url, seq, js_url_host(url), depth, priority))
+
+        # streamed-seed batch arriving between this round and the next
+        # (mirrors streaming.frontier_stream.StreamingSeedIngest)
+        if rnd in streamed_seeds:
+            cleaned = set()
+            for u in streamed_seeds[rnd]:
+                cu = canonicalize_url(u.strip())
+                if cu is None or skip_reason(cu) is not None:
+                    continue
+                cleaned.add(cu)
+            unseen = [u for u in sorted(cleaned)
+                      if u not in seen and js_url_host(u) is not None]
+            for idx, u in enumerate(unseen):
+                seen.add(u)
+                pending.append((u, STREAM_SEQ_BASE + idx, js_url_host(u), 0, 0.0))
     return waves

@@ -173,3 +173,20 @@ def test_amp_static_first_race(spark, tmp_path):
     met = sched.store.read(spark, "metrics", 0)
     agg = met.agg(F.sum("amp").alias("a"), F.sum("dynamic").alias("d")).collect()[0]
     assert (agg.a, agg.d) == (1, 3)
+
+
+def test_sim_streamed_seeds_between_rounds():
+    """Simulator twin of the streaming ingest (no Spark needed): a seed
+    batch arriving after round 0 is canonicalized, claimed, url-ranked,
+    and scheduled in round 1 under the per-host budget."""
+    from horseman_article_parser_spark.datagen.frontier import seed_urls
+    from horseman_article_parser_spark.plans.reference_sim import sim_crawl
+
+    late = [f"https://streamed.example/late/{i}" for i in range(8)]
+    waves = sim_crawl(seed_urls(120), 2, wave_size=30, round0_limit=30,
+                      default_host_budget=2, streamed_seeds={0: late})
+    assert not any("streamed.example" in u for u in waves[0])
+    got = [u for u in waves[1] if "streamed.example" in u]
+    # 8 arrive, budget 2 per host -> exactly the 2 lowest-url-rank ones
+    assert got == ["https://streamed.example/late/0",
+                   "https://streamed.example/late/1"]
