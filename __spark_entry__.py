@@ -1139,15 +1139,20 @@ def q_part_type_stats(spark, sf_dir):
 
 def q_spellcheck(spark, sf_dir):
     """N4 spellcheck (anti-join misses, char positions, symspell
-    suggestions) + J3 entity filter, one surface. Dictionary = words
-    with corpus frequency >= 0.5 * n_docs (by construction on both
-    engines); appended zzrare* tokens are plain misspellings;
-    zzentity(+s) tokens are rescued by the known-entity rule; 'tabl' /
-    'scann' are one edit from frequent corpus words so the suggestion
-    join must surface the dictionary twins (the oracle verifies with
-    DuckDB's native levenshtein())."""
+    suggestions) + J3 entity filter, one surface. Dictionary = the
+    EMBEDDED STATIC en-gb wordlist (functions/wordlists.py, the
+    relational form of the reference's dictionary-en-gb,
+    spellCheck.js:6) — replacing the round-1..3 corpus-frequency
+    dictionary, so ' recieve' (appended to EVERY doc, maximally
+    corpus-frequent) is still flagged exactly like hunspell would;
+    zzrare* tokens are plain misspellings; zzentity(+s) are rescued by
+    the known-entity rule; 'tabl' / 'scann' are one edit from
+    dictionary words so the suggestion join must surface the twins
+    (the oracle verifies with DuckDB's native levenshtein())."""
+    from horseman_article_parser_spark.functions.wordlists import (
+        builtin_dictionary,
+    )
     from horseman_article_parser_spark.operators.spellcheck import (
-        doc_tokens,
         misspellings,
         suggest_corrections,
     )
@@ -1171,17 +1176,10 @@ def q_spellcheck(spark, sf_dir):
         .otherwise(F.lit(""))
     )
     docs2 = docs.select(
-        "doc_id", F.concat(F.col("text"), rare, ent, typo).alias("text")
+        "doc_id",
+        F.concat(F.col("text"), rare, ent, typo, F.lit(" recieve")).alias("text"),
     )
-    total = docs.groupBy().agg(F.count("*").alias("_n"))
-    dictionary = (
-        doc_tokens(docs2)
-        .groupBy("word_lc")
-        .agg(F.count("*").alias("_c"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("_c") >= 0.5 * F.col("_n"))
-        .select(F.col("word_lc").alias("word"))
-    )
+    dictionary = builtin_dictionary(spark, "en")
     entities = spark.createDataFrame([("Zzentity",)], "entity string")
     missed = misspellings(docs2, dictionary, entities, positions=True)
     sugg = suggest_corrections(missed, dictionary).select(
@@ -2328,6 +2326,14 @@ FROM q LEFT JOIN hits h USING (query_id)
 """.strip()
 
 
+def _en_gb_words_sql() -> str:
+    """Space-joined embedded en-gb wordlist for the spellcheck oracle's
+    static dict CTE (same constant the Spark query broadcasts)."""
+    from horseman_article_parser_spark.functions.wordlists import wordlist
+
+    return " ".join(wordlist("en"))
+
+
 def oracle_sql() -> dict[str, str]:
     stop_hits = " + ".join(occ_sql("text", w) for w in TS.STOPWORDS_MINI)
 
@@ -2767,7 +2773,8 @@ WITH d AS (
            (CASE WHEN doc_id % 5 = 0 THEN ' zzentity'
                  WHEN doc_id % 5 = 1 THEN ' zzentitys' ELSE '' END) ||
            (CASE WHEN doc_id % 7 = 0 THEN ' tabl'
-                 WHEN doc_id % 7 = 1 THEN ' scann' ELSE '' END) AS text
+                 WHEN doc_id % 7 = 1 THEN ' scann' ELSE '' END) ||
+           ' recieve' AS text
   FROM documents),
 t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
 toks AS (
@@ -2785,8 +2792,7 @@ pos AS (
               + length(coalesce(regexp_extract(word, '^[^A-Za-z]+'), ''))
               AS INT) AS col_char
   FROM toks),
-freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
-dict AS (SELECT word FROM freq WHERE c >= 0.5 * (SELECT count(*) FROM documents)),
+dict AS (SELECT unnest(string_split('{EN_DICT_WORDS}', ' ')) AS word),
 entkeys AS (SELECT 'zzentity' AS word UNION ALL SELECT 'zzentitys'),
 miss AS (
   SELECT doc_id, 1 AS line, word_idx, word, col_char,
@@ -2812,7 +2818,7 @@ SELECT m.doc_id, m.line, m.word_idx, m.word,
        coalesce(a.suggestions, '') AS suggestions
 FROM miss m
 LEFT JOIN agg a USING (doc_id, line, word_idx, word)
-""".strip(),
+""".strip().replace("{EN_DICT_WORDS}", _en_gb_words_sql()),
         "dedup_exact": f"""
 WITH n AS (SELECT doc_id, md5({NORMTEXT_SQL.replace('text', 'text')}) AS fingerprint FROM documents)
 SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_dups FROM n GROUP BY fingerprint
