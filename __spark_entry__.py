@@ -761,9 +761,15 @@ def q_langid(spark, sf_dir):
     # kicks the plan out of codegen (see trigram_lang_scores docstring)
     base = docs.select("doc_id", sample.alias("txt")).withColumn(
         "_nt", TS.lang_normtext_col("txt")
+    ).withColumn(
+        # one regex scan per DISTINCT script per row (24+Latin), shared
+        # by all 52 gates — a row only scores profiles of its script
+        "_gf", TS.script_gate_flags_col(F.col("_nt"))
     )
-    st = TS.langid_struct_col(F.col("_nt"), prenormalized=True)
-    scores = TS.trigram_lang_scores(F.col("_nt"), prenormalized=True)
+    st = TS.langid_struct_col(F.col("_nt"), prenormalized=True,
+                              gate_flags=F.col("_gf"))
+    scores = TS.trigram_lang_scores(F.col("_nt"), prenormalized=True,
+                                    gate_flags=F.col("_gf"))
     best = F.greatest(*scores.values())
     return base.select(
         "doc_id",

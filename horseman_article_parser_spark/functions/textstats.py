@@ -198,6 +198,36 @@ LANG_SCRIPT_GATES: dict[str, str] = {
     "urd": r"[؀-ۿ]",
 }
 
+# Latin-script gate for every language NOT in LANG_SCRIPT_GATES: all 25
+# Latin profiles' trigrams carry >=1 Latin-script letter (verified by
+# test_latin_gate_identity), so `text has no Latin letter => score 0` is
+# an identity — a CJK/Arabic/Indic row skips ALL Latin profile sums
+# (VERDICT r3 next-round #7: gates must short-circuit scoring, not just
+# weight it). Applied only through the materialized `gate_flags` path:
+# whole-stage codegen does NOT common-subexpression-eliminate the 25
+# identical rlike nodes across when() branches (measured: inline Latin
+# gates cost more than the sums they skip), so the flags must be
+# computed once per row as a real column (script_gate_flags_col).
+LATIN_GATE = r"\p{IsLatin}"
+
+
+def script_gate_flags_col(norm: Column) -> Column:
+    """One boolean per DISTINCT script-gate regex (24 ranges + Latin),
+    evaluated ONCE per row. Materialize with withColumn and hand to
+    trigram_lang_scores/langid_struct_col as `gate_flags` so the 52
+    per-language gates become struct-field reads instead of 52 regex
+    scans."""
+    return F.struct(
+        *[
+            norm.rlike(g).alias(f"g{i}")
+            for i, g in enumerate(_DISTINCT_GATES)
+        ]
+    )
+
+
+_DISTINCT_GATES = sorted(set(LANG_SCRIPT_GATES.values()) | {LATIN_GATE})
+_GATE_FIELD = {g: f"g{i}" for i, g in enumerate(_DISTINCT_GATES)}
+
 
 def lang_normtext_col(text: Column | str) -> Column:
     """' ' + lowercased letters+marks-only text + ' ' (trigram counting
@@ -222,7 +252,8 @@ def _trigram_count(norm: Column, tg: str) -> Column:
 
 def trigram_lang_scores(text: Column | str,
                         profiles: dict[str, tuple[str, ...]] | None = None,
-                        prenormalized: bool = False) -> dict[str, Column]:
+                        prenormalized: bool = False,
+                        gate_flags: Column | None = None) -> dict[str, Column]:
     """Per-language trigram scores (pure Column algebra).
 
     prenormalized=True means `text` is ALREADY the lang_normtext_col
@@ -232,7 +263,12 @@ def trigram_lang_scores(text: Column | str,
     which blows the expression past whole-stage codegen's method-size
     limit and forces interpreted re-evaluation of the regexp per
     occurrence — measured 4× slower when first hit at 33 profiles; the
-    shipped table is larger still."""
+    shipped table is larger still.
+
+    gate_flags: the materialized script_gate_flags_col struct. With it,
+    EVERY language is gated (incl. the Latin-script 25) by a struct-
+    field read; without it, only the non-Latin gates apply as inline
+    rlike (the Latin gate is a net loss un-shared, see LATIN_GATE)."""
     p = profiles or LANG_TRIGRAMS
     norm = _c(text) if prenormalized else lang_normtext_col(text)
     out: dict[str, Column] = {}
@@ -243,25 +279,31 @@ def trigram_lang_scores(text: Column | str,
             term = _trigram_count(norm, tg) * F.lit(k - rank)
             score = term if score is None else score + term
         score = score.cast("long")
-        gate = LANG_SCRIPT_GATES.get(lang) if p is LANG_TRIGRAMS else None
-        if gate is not None:
-            score = F.when(norm.rlike(gate), score).otherwise(
-                F.lit(0).cast("long")
-            )
+        if p is LANG_TRIGRAMS:
+            if gate_flags is not None:
+                gate = LANG_SCRIPT_GATES.get(lang, LATIN_GATE)
+                cond = gate_flags[_GATE_FIELD[gate]]
+            else:
+                gate = LANG_SCRIPT_GATES.get(lang)
+                cond = norm.rlike(gate) if gate is not None else None
+            if cond is not None:
+                score = F.when(cond, score).otherwise(F.lit(0).cast("long"))
         out[lang] = score
     return out
 
 
 def langid_struct_col(text: Column | str,
                       profiles: dict[str, tuple[str, ...]] | None = None,
-                      prenormalized: bool = False) -> Column:
+                      prenormalized: bool = False,
+                      gate_flags: Column | None = None) -> Column:
     """N1 full output: struct(iso6391, iso6393) like the reference's
     detectLanguage (language.js:26-46). Winner = max trigram score,
     alphabetical iso6393 tie-break, all-zero → eng/en. See
-    trigram_lang_scores on prenormalized."""
+    trigram_lang_scores on prenormalized / gate_flags."""
     p = profiles or LANG_TRIGRAMS
     langs = sorted(p)
-    scores = trigram_lang_scores(text, p, prenormalized=prenormalized)
+    scores = trigram_lang_scores(text, p, prenormalized=prenormalized,
+                                 gate_flags=gate_flags)
     entries = [
         F.struct(scores[lang].alias("score"), F.lit(-i).alias("negrank"))
         for i, lang in enumerate(langs)

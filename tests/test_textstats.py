@@ -180,3 +180,59 @@ def test_keyphrases_pooled_lengths(spark):
     # the 3-gram also has tf=3
     assert got["annual budget"][0] == 3 and got["annual budget report"][0] == 3
     assert got["city council"][0] == 2
+
+
+def test_latin_gate_identity_invariant():
+    """Every ungated (Latin-script) profile's trigrams must each carry
+    >=1 Latin-script letter — the precondition for LATIN_GATE being an
+    identity (no-Latin text => all Latin profile scores are 0 anyway).
+    Guards future profile additions."""
+    import unicodedata
+
+    from horseman_article_parser_spark.functions.textstats import (
+        LANG_SCRIPT_GATES,
+        LANG_TRIGRAMS,
+    )
+
+    def is_latin(ch):
+        try:
+            return unicodedata.name(ch).startswith("LATIN")
+        except ValueError:
+            return False
+
+    for lang, tgs in LANG_TRIGRAMS.items():
+        if lang in LANG_SCRIPT_GATES:
+            continue
+        for tg in tgs:
+            assert any(is_latin(ch) for ch in tg), (lang, tg)
+
+
+def test_langid_gate_flags_identity(spark):
+    """The materialized script-gate-flags path must produce the exact
+    same winners and scores as the ungated path on every sample
+    language (gates are an identity, short-circuit only)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from horseman_article_parser_spark.functions import textstats as TS
+
+    langs = sorted(TS.LANG_TRIGRAMS)
+    docs = spark.createDataFrame(
+        [(i, entry.LANG_SAMPLES[lang]) for i, lang in enumerate(langs)],
+        ["doc_id", "txt"],
+    ).withColumn("_nt", TS.lang_normtext_col("txt"))
+    plain = TS.langid_struct_col(F.col("_nt"), prenormalized=True)
+    gated = TS.langid_struct_col(
+        F.col("_nt"), prenormalized=True,
+        gate_flags=TS.script_gate_flags_col(F.col("_nt")),
+    )
+    rows = docs.withColumn("_gf", TS.script_gate_flags_col(F.col("_nt"))).select(
+        "doc_id",
+        plain["iso6393"].alias("p"),
+        TS.langid_struct_col(F.col("_nt"), prenormalized=True,
+                             gate_flags=F.col("_gf"))["iso6393"].alias("g"),
+    ).collect()
+    assert len(rows) == len(langs)
+    for r in rows:
+        assert r.p == r.g, r
+        assert r.p == langs[r.doc_id], r  # each sample identifies itself
