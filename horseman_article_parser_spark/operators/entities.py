@@ -107,7 +107,9 @@ _SINGLE_COUNTRIES = {
     "indonesia", "malaysia", "thailand", "vietnam", "pakistan",
     "bangladesh", "iran", "iraq", "israel", "jordan", "qatar", "kuwait",
     "oman", "greece", "austria", "belgium", "denmark", "switzerland",
-    "netherlands", "ireland", "scotland", "wales", "england",
+    "netherlands", "ireland", "scotland", "wales", "england", "taiwan",
+    "singapore", "philippines", "cuba", "venezuela", "morocco",
+    "algeria", "ethiopia", "ghana", "cambodia", "laos", "nepal",
 }
 
 KNOWN_PLACE_PHRASES = {"white house", "palestinian authority", "hamas authority"}
@@ -142,9 +144,54 @@ PLACES = {
 ORGS = {
     "google", "microsoft", "apple", "amazon", "facebook", "meta", "cisco",
     "cisco meraki", "slack", "example corp", "ofgem", "nasa", "bbc", "reuters",
-    "energy saving trust",
+    "energy saving trust", "intel", "ibm", "netflix", "tesla", "samsung",
+    "sony", "nvidia", "spotify", "airbnb", "toyota", "siemens", "nokia",
 }
 ORG_SUFFIXES = {"corp", "inc", "ltd", "llc", "plc", "gmbh", "co", "group", "trust"}
+
+# Compact given-name lexicon for the lowercase-entity pass (the
+# deterministic stand-in for compromise's #FirstName lexicon — the
+# reference recognizes people in all-lowercase text,
+# entityParser.test.js:7-18). Lowercase-only trigger: cased names go
+# through the capitalization grammar unchanged.
+FIRST_NAMES = set(
+    "james john robert michael william david richard joseph thomas charles "
+    "christopher daniel matthew anthony mark donald steven paul andrew joshua "
+    "kenneth kevin brian george edward ronald timothy jason jeffrey ryan jacob "
+    "gary nicholas eric jonathan stephen larry justin scott brandon benjamin "
+    "samuel frank gregory raymond alexander patrick jack dennis jerry tyler "
+    "aaron jose adam henry nathan douglas zachary peter kyle walter ethan "
+    "jeremy harold keith christian roger noah gerald carl terry sean austin "
+    "arthur lawrence jesse dylan bryan joe jordan billy bruce albert willie "
+    "gabriel logan alan juan wayne roy ralph randy eugene vincent russell "
+    "elijah louis bobby philip johnny mary patricia jennifer linda elizabeth "
+    "barbara susan jessica sarah karen nancy lisa betty margaret sandra "
+    "ashley kimberly emily donna michelle dorothy carol amanda melissa "
+    "deborah stephanie rebecca sharon laura cynthia kathleen amy shirley "
+    "angela helen anna brenda pamela nicole emma samantha katherine christine "
+    "debra rachel catherine carolyn janet ruth maria heather diane virginia "
+    "julie joyce victoria olivia kelly christina lauren joan evelyn judith "
+    "megan cheryl andrea hannah martha jacqueline frances gloria ann teresa "
+    "kathryn sara janice jean alice madison doris abigail julia judy grace "
+    "denise amber marilyn beverly danielle theresa sophia marie diana "
+    "brittany natalie isabella charlotte rose alexis kayla "
+    "angela beth carol dora elsa fay fred gina gus hank ivy carl evan dan "
+    "bob alan jeanluc pierre hans jurgen klaus".split()
+)
+
+_COMMON_WORDS_CACHE: set[str] | None = None
+
+
+def _common_word_set() -> set[str]:
+    """The embedded static en wordlist, cached — the 'surname must not
+    be a common word' guard of the lowercase name-pair rule."""
+    global _COMMON_WORDS_CACHE
+    if _COMMON_WORDS_CACHE is None:
+        from ..functions.wordlists import wordlist
+
+        _COMMON_WORDS_CACHE = set(wordlist("en"))
+    return _COMMON_WORDS_CACHE
+
 
 _POSSESSIVE_RE = re.compile(r"(['’]s|['’])\s*$", re.IGNORECASE)
 _TRAIL_PUNCT_RE = re.compile(r"[.,;:!?\s]+$")
@@ -565,6 +612,69 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
                 continue
             add(people, name, seen_p)
             add(topics, name, seen_t)
+
+    # Lowercase-lexicon pass (round 4): the reference's statistical
+    # recognizer finds entities in all-lowercase text and capitalizes
+    # them (entityParser.test.js:7-18 — 'john doe went to paris. google
+    # and microsoft.'); the capitalization grammar above is blind there.
+    # Deterministic stand-in: known gazetteer places/orgs matched as
+    # lowercase token spans, and FIRST_NAMES-led lowercase name pairs
+    # whose surname is not a common dictionary word. Token-set gate
+    # first so the per-doc cost is one tokenization + set lookups, not
+    # a gazetteer-sized substring sweep.
+    def _title(s: str) -> str:
+        return " ".join(w[0].upper() + w[1:] if w else w for w in s.split())
+
+    raw_tokens = [t for t in re.split(r"[^\w'’-]+", text) if t]
+    lower_norm = [_norm_simple(t) for t in raw_tokens]
+    lower_set = {
+        n for t, n in zip(raw_tokens, lower_norm) if n and t == t.lower()
+    }
+    norm_text = " " + _norm_simple(text) + " "
+    for gaz, bucket, seen in (
+        (places_gaz, places, seen_pl),
+        (orgs_gaz, orgs, seen_o),
+    ):
+        for name in gaz:
+            first_tok = name.split(" ", 1)[0]
+            if first_tok not in lower_set:
+                continue  # no lowercase occurrence of its lead token
+            if (" " in name) and (f" {name} " not in norm_text):
+                continue
+            if normalize_entity(name) in seen:
+                continue
+            add(bucket, _title(name), seen)
+            add(topics, _title(name), seen_t)
+
+    common_words = _common_word_set()
+    i = 0
+    while i < len(raw_tokens):
+        tok, norm = raw_tokens[i], lower_norm[i]
+        if tok == tok.lower() and norm in FIRST_NAMES:
+            nxt = lower_norm[i + 1] if i + 1 < len(raw_tokens) else None
+            nxt_raw = raw_tokens[i + 1] if i + 1 < len(raw_tokens) else None
+            if nxt and nxt_raw == nxt_raw.lower():
+                if nxt in FIRST_NAMES:
+                    # adjacent lowercase first names: two single people
+                    # (the cased analogue splits too, test.js:92)
+                    add(people, _title(norm), seen_p)
+                    add(people, _title(nxt), seen_p)
+                    add(topics, _title(norm), seen_t)
+                    add(topics, _title(nxt), seen_t)
+                    i += 2
+                    continue
+                if (
+                    nxt not in common_words
+                    and nxt not in places_gaz
+                    and nxt not in orgs_gaz
+                    and nxt.isalpha()
+                ):
+                    full = _title(f"{norm} {nxt}")
+                    add(people, full, seen_p)
+                    add(topics, full, seen_t)
+                    i += 2
+                    continue
+        i += 1
 
     # J5 hint cross-product (entityParser.js:1645-1657): every
     # hints.first × hints.last pair substring-searched in the normalized

@@ -154,11 +154,18 @@ def test_hint_cross_product_substring_search():
     hints = {"first": ["ada", "grace"], "last": ["lovelace", "hopper"]}
     text = "the award went to ada lovelace while grace hopper presented."
     got = extract_entities(text, hints)["people"]
-    assert "Ada lovelace" in got and "Grace hopper" in got
+    # 'ada' is not in the built-in FIRST_NAMES lexicon, so Ada lovelace
+    # arrives via the J5 hint pass (reference capitalization: leading
+    # char only); 'grace' IS, so Grace Hopper arrives via the round-4
+    # lowercase-lexicon pass first (title-cased like the grammar's cased
+    # output) and the hint pass dedupes on the normalized key.
+    assert "Ada lovelace" in got and "Grace Hopper" in got
     # non-occurring combinations must NOT appear
-    assert all("Ada hopper" != p and "Grace lovelace" != p for p in got)
-    # without hints the lowercase names are invisible
-    assert extract_entities(text, {})["people"] == []
+    keys = {p.lower() for p in got}
+    assert "ada hopper" not in keys and "grace lovelace" not in keys
+    # without hints, only the lexicon-led name is visible ('lovelace'
+    # has no lexicon first name in front of it)
+    assert extract_entities(text, {})["people"] == ["Grace Hopper"]
 
 
 def test_country_sequence_split_and_prefixes():
@@ -204,14 +211,21 @@ def test_ner_recall_adversarial_lowercase_corpus():
     the cased control group must stay at 100%."""
     cases = [
         # (text, expected entity surface forms the REFERENCE recovers)
-        # -- adversarial: lowercase, grammar-invisible
+        # -- adversarial tier 1: lowercase but lexicon-reachable
+        # (covered since r4 by the lowercase-lexicon pass)
         ("john doe went to paris. google and microsoft.",
          ["John Doe", "Paris", "Google", "Microsoft"]),
         ("the meeting in berlin impressed angela merkel.",
          ["Berlin", "Angela Merkel"]),
         ("apple and intel shipped chips from taiwan.",
          ["Apple", "Intel", "Taiwan"]),
-        # -- control: same sentences, properly cased (grammar territory)
+        # -- adversarial tier 2: lowercase AND outside every lexicon —
+        # only a statistical model reaches these (still-open gap)
+        ("the startup deepgram hired zuri okafor from acme robotics.",
+         ["Deepgram", "Zuri Okafor", "Acme Robotics"]),
+        ("reports from ouagadougou say the bank raised rates.",
+         ["Ouagadougou"]),
+        # -- control: properly cased (grammar territory)
         ("John Doe went to Paris. Google and Microsoft.",
          ["John Doe", "Paris", "Google", "Microsoft"]),
         ("The meeting in Berlin impressed Angela Merkel.",
@@ -236,10 +250,11 @@ def test_ner_recall_adversarial_lowercase_corpus():
           f"(cased control {cased_found}/{cased_expected})")
     # the cased control group must be fully recovered by the grammar
     assert cased_found == cased_expected
-    # pin the CURRENT lowercase gap: grammar finds none of the 9
-    # lowercase entities. If this number improves, update the pin so
-    # the judge sees measured progress; if it regresses further the
-    # assert fails.
-    assert found == cased_found, (
-        "lowercase recall changed - update the recall pin"
+    # pin the CURRENT recall: r3 grammar scored 0/9 lowercase; the r4
+    # lowercase-lexicon pass recovers all 9 tier-1 entities, while the
+    # 4 tier-2 (out-of-lexicon) entities remain the sanctioned
+    # statistical-NER gap. If recall moves, update this pin so the
+    # change is measured, not silent.
+    assert found == 15 and total == 19, (
+        f"NER recall moved ({found}/{total}) - update the recall pin"
     )
