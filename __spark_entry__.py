@@ -742,6 +742,43 @@ LANG_SAMPLES: dict[str, str] = {
             "میں لوگ اسے دیکھتے ہیں"),
     "vie": ("con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng trong "
             "thành phố lớn và mọi người nhìn thấy"),
+    # ---- round-4 breadth additions ----
+    "afr": ("die vinnige bruin jakkals spring oor die lui hond in die "
+            "groot stad waar baie mense dit elke dag sien gebeur het"),
+    "sqi": ("dhelpra e shpejtë kafe kërcen mbi qenin dembel në qytetin "
+            "e madh ku njerëzit e shohin atë çdo ditë"),
+    "hrv": ("brza smeđa lisica skače preko lijenog psa u velikom gradu "
+            "gdje je mnogo ljudi vide svaki dan"),
+    "slk": ("rýchla hnedá líška skáče cez lenivého psa vo veľkom meste "
+            "kde ju vidia mnohí ľudia každý deň"),
+    "slv": ("hitra rjava lisica skoči čez lenega psa v velikem mestu "
+            "kjer jo ljudje vidijo vsak dan znova"),
+    "gle": ("léimeann an sionnach donn gasta thar an madra leisciúil sa "
+            "chathair mhór agus feiceann na daoine é gach lá"),
+    "cym": ("mae llwynog brown cyflym yn neidio dros y ci diog yn y "
+            "ddinas fawr ac mae pobl yn gweld hyn bob dydd"),
+    "glg": ("o raposo marron lixeiro chimpa por riba do can preguiceiro "
+            "na vila grande onde a xente galega mira iso cada mencer"),
+    "azj": ("sürətli qəhvəyi tülkü tənbəl itin üstündən tullanır və "
+            "böyük şəhərdə insanlar bunu hər gün görürlər"),
+    "uzn": ("tez jigarrang tulki dangasa itning ustidan sakraydi va "
+            "katta shaharda odamlar buni har kuni korishadi"),
+    "som": ("dawacada bunni ah ee dhakhsaha badan ayaa ka booddaa eyga "
+            "caajiska ah magaalada weyn halkaas oo dadku arkaan maalin kasta"),
+    "yor": ("kọlọkọlọ alawọ burẹndi yara n fo lori aja ọlẹ ni ilu nla "
+            "nibi ti awọn eniyan ti ri i lojoojumọ"),
+    "zul": ("impungushe ensundu esheshayo yeqa phezu kwenja evilaphayo "
+            "edolobheni elikhulu lapho abantu beyibona nsuku zonke"),
+    "mlt": ("il volpi kannella mgħaġġla taqbeż fuq il kelb għażżien fil "
+            "belt il kbira fejn in nies jarawha kuljum"),
+    "srp": ("брза смеђа лисица скаче преко лењог пса у великом граду "
+            "где је људи виде сваког дана"),
+    "mkd": ("брзата кафеава лисица скока преку мрзливото куче во "
+            "големиот град каде што луѓето ја гледаат секој ден"),
+    "bel": ("хуткая рудая лісіца скача праз лянівага сабаку ў вялікім "
+            "горадзе дзе людзі бачаць гэта штодня"),
+    "kaz": ("жылдам қоңыр түлкі жалқау иттің үстінен секіреді және "
+            "үлкен қалада адамдар мұны күн сайын көреді"),
 }
 
 

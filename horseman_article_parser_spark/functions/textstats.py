@@ -15,7 +15,7 @@ Reference parity (behavior, not code):
     /root/reference/controllers/entityParser.js:83-90 (X1)
 - language detect = n-gram profile scoring with 'en' default
     /root/reference/controllers/language.js:26-46 (N1) — here a
-    franc-style ranked-trigram model over 52 languages spanning 24
+    franc-style ranked-trigram model over 70 languages spanning 24
     scripts (Latin, Cyrillic, Greek, Arabic, Hebrew, Devanagari,
     Bengali, Tamil, Thai, Georgian, Armenian, Hangul, kana, Han),
     argmax with deterministic alphabetical tie-break and 'eng'/'en'
@@ -156,6 +156,27 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
             "اور", " او", "ر ش", "وپر", " لو", "گ ا"),
     "vie": ("ng ", " ng", "nh ", " nh", "on ", " co", "con", " và", "và ",
             "ười", " qu", "ành", "phố", " ph", "rong"),
+    # ---- round-4 breadth additions (18 languages; profiles are the
+    # top-15 non-overlapping-count trigrams of the engine's own sample
+    # corpus, same construction as the original 52) ----
+    "afr": (" di", "ie ", "die", "e d", "in ", " ba", " br", " da", " el", " ge", " gr", " he", " ho", " in", " ja"),
+    "azj": ("hər", "ər ", " bu", " bö", " gö", " gü", " hə", " in", " it", " qə", " sü", " tu", " tü", " tə", " və"),
+    "bel": ("а с", "ача", "ая ", "дзе", "зе ", " ба", " вя", " го", " гэ", " дз", " лю", " ля", " лі", " пр", " ру"),
+    "cym": ("yn ", " yn", " ma", " y ", "ae ", "dio", "mae", "og ", " ac", " bo", " br", " ci", " cy", " dd", " di"),
+    "gle": ("nn ", " an", " ga", "ach", "an ", "ann", "ch ", "ean", "onn", "r a", "tha", " ag", " ch", " da", " do"),
+    "glg": ("o c", " ca", "a m", "de ", "eir", "iro", "nde", "ro ", "so ", " a ", " ch", " do", " ga", " gr", " is"),
+    "hrv": (" li", "a s", "je ", "nog", "o l", " br", " da", " gd", " gr", " je", " lj", " mn", " pr", " ps", " sk"),
+    "kaz": ("ада", "дам", "ді ", "еді", "ен ", "н с", "ред", "і ж", "үлк", " ад", " жа", " жы", " жә", " ит", " кү"),
+    "mkd": ("то ", " ка", " бр", " во", " гл", " го", " гр", " де", " ку", " ли", " лу", " мр", " пр", " се", " ск"),
+    "mlt": ("il ", " il", "għa", "l k", "la ", " be", " fe", " fi", " fu", " għ", " in", " ja", " ka", " kb", " ke"),
+    "slk": ("dia", "ia ", " ce", " de", " hn", " ju", " ka", " kd", " le", " lí", " me", " mn", " ps", " rý", " sk"),
+    "slv": ("jo ", "va ", " da", " hi", " jo", " kj", " le", " li", " lj", " me", " ps", " rj", " sk", " v ", " ve"),
+    "som": ("a b", "ada", " ah", " da", " ka", " ma", "aa ", "aal", "ah ", "an ", "da ", "ka ", "kaa", " ar", " ay"),
+    "sqi": (" e ", "in ", "të ", " sh", "e s", " at", " de", " dh", " di", " ka", " ku", " kë", " ma", " mb", " nj"),
+    "srp": ("а с", "де ", "ог ", " бр", " ве", " ви", " гд", " гр", " да", " ле", " ли", " пр", " пс", " св", " ск"),
+    "uzn": ("ang", "ar ", "dan", "di ", "har", "ng ", "ni ", "sha", "uni", " bu", " da", " ha", " it", " ji", " ka"),
+    "yor": (" lo", " ni", " ti", "a n", "awọ", "i a", "i i", "kọl", "ri ", "ti ", "ọlọ", " aj", " al", " aw", " bu"),
+    "zul": ("aph", "ayo", "esh", "hay", "lap", "nsu", "she", "yo ", " ab", " be", " ed", " el", " en", " es", " ev"),
 }
 
 # the reference's ISO-639-3 → ISO-639-1 table (language.js:6-13), the
@@ -172,6 +193,11 @@ ISO3_TO_1: dict[str, str] = {
     "sin": "si", "spa": "es", "swe": "sv", "swh": "sw", "tam": "ta",
     "tel": "te", "tgl": "tl", "tha": "th", "tur": "tr", "ukr": "uk",
     "urd": "ur", "vie": "vi",
+    # round-4 additions
+    "afr": "af", "azj": "az", "bel": "be", "cym": "cy", "gle": "ga",
+    "glg": "gl", "hrv": "hr", "kaz": "kk", "mkd": "mk", "mlt": "mt",
+    "slk": "sk", "slv": "sl", "som": "so", "sqi": "sq", "srp": "sr",
+    "uzn": "uz", "yor": "yo", "zul": "zu",
 }
 LANG_DEFAULT_ISO3 = "eng"
 
@@ -196,6 +222,8 @@ LANG_SCRIPT_GATES: dict[str, str] = {
     "tam": r"[஀-௿]", "tel": r"[ఀ-౿]",
     "tha": r"[฀-๿]", "ukr": r"[Ѐ-ӿ]",
     "urd": r"[؀-ۿ]",
+    "srp": r"[Ѐ-ӿ]", "mkd": r"[Ѐ-ӿ]",
+    "bel": r"[Ѐ-ӿ]", "kaz": r"[Ѐ-ӿ]",
 }
 
 # Latin-script gate for every language NOT in LANG_SCRIPT_GATES: all 25
