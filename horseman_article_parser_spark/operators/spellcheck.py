@@ -239,12 +239,21 @@ def misspellings_multilang(
     availability table and the dictionary broadcast; the anti-join keys
     on (lang, word) — one broadcast anti-join, zero extra shuffles vs
     the single-dictionary path."""
-    from ..functions.textstats import lang_normtext_col, langid_struct_col
+    from ..functions.textstats import (
+        lang_normtext_col,
+        langid_struct_col,
+        script_gate_flags_col,
+    )
 
     nt = lang_normtext_col(F.col(text_col))
     docs_l = docs.withColumn("_nt", nt).withColumn(
-        "_lang", langid_struct_col(F.col("_nt"), prenormalized=True)["iso6391"]
-    ).drop("_nt")
+        "_gf", script_gate_flags_col(F.col("_nt"))
+    ).withColumn(
+        "_lang",
+        langid_struct_col(
+            F.col("_nt"), prenormalized=True, gate_flags=F.col("_gf")
+        )["iso6391"],
+    ).drop("_nt", "_gf")
     avail = dictionaries.select(F.col("lang").alias("_lang")).distinct().withColumn(
         "_has", F.lit(True)
     )

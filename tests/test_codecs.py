@@ -153,3 +153,41 @@ def test_phash_stable_and_locality():
 def test_captions_deterministic():
     assert caption_for(12) == caption_for(12)
     assert caption_for(12) != caption_for(13)
+
+
+def test_jpeg_decoder_restart_markers():
+    """DRI/RSTn support, pinned by a hand-built 2-MCU grayscale stream:
+    restart interval 1, an RST0 between the MCUs, DC predictor reset at
+    the restart — both flat blocks decode to 160 (same arithmetic as
+    test_jpeg_decoder_against_handbuilt_stream)."""
+    import struct
+
+    from horseman_article_parser_spark.codecs.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt = np.full(64, 16, dtype=np.uint8)
+    mcu_bits = bytes([0xD0, 0xAF])  # DC cat5 '110'+'10000', EOB, 1-pad
+    stream = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes(qt))
+        + seg(0xFFDD, struct.pack(">H", 1))  # DRI: restart every MCU
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + seg(0xFFC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + mcu_bits
+        + b"\xff\xd0"  # RST0 -> predictor resets, bit reader realigns
+        + mcu_bits     # same absolute DC again because pred was reset
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert out.shape == (8, 16, 3)
+    assert (out == 160).all()
