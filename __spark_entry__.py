@@ -1255,6 +1255,10 @@ def _entity_text_col():
         # countries must split into exactly two places (prefix set
         # keeps 'United Arab Emirates' whole)
         F.lit("The United Arab Emirates South Korea talks continued."),
+        # r4 lowercase-lexicon pass: 'berlin' (gazetteer place) and
+        # 'john doe' (FIRST_NAMES pair) are recovered and capitalized;
+        # 'google' is already seen from the cased pass and dedupes
+        F.lit(" later the fox reached berlin where google met john doe."),
     )
 
 
@@ -1282,10 +1286,12 @@ def _entities_oracle_sql() -> str:
         ("people", 0, f"'Mr ' || {c1}"),
         ("people", 1, c2),
         ("people", 2, c1n),
+        ("people", 3, "'John Doe'"),
         ("places", 0, "'Paris'"),
         ("places", 1, "'United Kingdom'"),
         ("places", 2, "'United Arab Emirates'"),
         ("places", 3, "'South Korea'"),
+        ("places", 4, "'Berlin'"),
         ("orgs", 0, "'Google'"),
         ("orgs", 1, "'Slack'"),
         ("topics", 0, f"'Mr ' || {c1}"),
@@ -1297,6 +1303,8 @@ def _entities_oracle_sql() -> str:
         ("topics", 6, "'United Kingdom'"),
         ("topics", 7, "'United Arab Emirates'"),
         ("topics", 8, "'South Korea'"),
+        ("topics", 9, "'Berlin'"),
+        ("topics", 10, "'John Doe'"),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT doc_id, '{k}' AS kind, {p} AS pos, {e} AS entity FROM documents"

@@ -635,7 +635,10 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
         (places_gaz, places, seen_pl),
         (orgs_gaz, orgs, seen_o),
     ):
-        for name in gaz:
+        # sorted(): gazetteers are sets — iteration order must not
+        # depend on PYTHONHASHSEED or the emitted array order would
+        # differ between executor processes
+        for name in sorted(gaz):
             first_tok = name.split(" ", 1)[0]
             if first_tok not in lower_set:
                 continue  # no lowercase occurrence of its lead token
