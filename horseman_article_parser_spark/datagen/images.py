@@ -28,13 +28,22 @@ from pyspark.sql import types as T
 from ..codecs.images import encode_png, phash64
 from ..codecs.jpeg import encode_jpeg
 
-# Lossy rows carry REAL baseline JPEG (round 4). Quality 90 rather than
-# the reference's screenshot quality 40 (index.js:758) because the
-# payload-table invariant here is PSNR>=40dB vs the PRE-ENCODE original
-# (strictly harder than the north rule's decoder-vs-decoder allclose on
-# identical bytes) and the band-pattern synthetics sit at ~34dB under
-# q40; the q40 reference setting itself is pinned by tests/test_codecs.py.
+# Lossy rows carry REAL baseline JPEG (round 4). The reference's
+# screenshot quality is 40 (index.js:758); this table's invariant is
+# PSNR>=40dB vs the PRE-ENCODE original (strictly harder than the north
+# rule's decoder-vs-decoder allclose on identical bytes), which q40 only
+# clears on the large smooth-gradient pattern (44.5dB at 640x480; the
+# band/noise patterns sit at ~34-37dB). So those rows use the real
+# reference setting and the rest use q90; tests/test_codecs.py pins q40
+# behavior across every pattern besides.
 JPEG_QUALITY = 90
+JPEG_QUALITY_REFERENCE = 40
+
+
+def jpeg_quality_for(img_idx: int) -> int:
+    w, _ = _SIZES[img_idx % len(_SIZES)]
+    smooth = img_idx % 3 == 0
+    return JPEG_QUALITY_REFERENCE if (smooth and w >= 480) else JPEG_QUALITY
 
 IMAGES_SCHEMA = T.StructType(
     [
@@ -94,7 +103,10 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
         i = int(i)
         px, w, h = synth_pixels(i)
         fmt = "png" if i % 2 == 0 else "jpeg"
-        data = encode_png(px) if fmt == "png" else encode_jpeg(px, JPEG_QUALITY)
+        data = (
+            encode_png(px) if fmt == "png"
+            else encode_jpeg(px, jpeg_quality_for(i))
+        )
         rows.append(
             {
                 "image_id": image_id_for(i),

@@ -100,3 +100,27 @@ def test_bytes_pruned_from_metadata_scans(spark, tmp_store):
     read_schema = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
     assert "bytes" not in read_schema, read_schema
     assert "PushedFilters: [" in scan  # fmt filter reaches the scan
+
+
+def test_reference_quality_rows_present(spark):
+    """The large smooth-gradient jpeg rows carry the reference's exact
+    screenshot quality (index.js:758 quality:40) — byte-identical to a
+    q40 re-encode — while still clearing the PSNR>=40 invariant; all
+    other jpeg rows use q90."""
+    from horseman_article_parser_spark.codecs.jpeg import encode_jpeg
+    from horseman_article_parser_spark.datagen.images import (
+        jpeg_quality_for,
+        synth_pixels,
+    )
+
+    rows = build_images_table(spark, 16).collect()
+    n_q40 = 0
+    for r in rows:
+        if r.fmt != "jpeg":
+            continue
+        idx = int(r.image_id.split("-")[1])
+        px, _, _ = synth_pixels(idx)
+        q = jpeg_quality_for(idx)
+        assert bytes(r.bytes) == encode_jpeg(px, q)
+        n_q40 += q == 40
+    assert n_q40 >= 1  # id 3 (640x480 smooth) is inside the first 16
