@@ -506,6 +506,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (B.1.1.2): any number of 0xFF
+            pos += 1        # may pad before a marker — consume one
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -552,6 +555,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not supported"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]

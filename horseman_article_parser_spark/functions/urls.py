@@ -287,13 +287,18 @@ def sanitize_data_url_cols(url: Column | str, js_enabled: bool = False
       malformed percent sequences; decodeURIComponent keeps '+' and the
       reference catches failures, returning ('', raw url). '+' is
       pre-escaped and try_url_decode's NULL maps to that fallback.
-    - base64 payloads that decode to invalid UTF-8 (or are not base64 at
-      all) must fold into the same ('', raw url) fallback — the
-      reference's Buffer→toString→try/catch path never emits mojibake.
-      try_to_binary gives NULL on malformed base64 (unbase64 would throw
-      under ANSI), and is_valid_utf8 over the reinterpreting binary→
-      string cast rejects non-UTF-8 bytes (decode() would emit
-      replacement characters in non-ANSI mode / throw in ANSI)."""
+    - the base64 branch NEVER falls back: Node's
+      Buffer.from(payload, 'base64') is lenient (ignores characters
+      outside the alphabet, treats the first '=' as the end, drops a
+      trailing 1-char group) and .toString('utf8') replaces invalid
+      sequences with U+FFFD — neither throws, so the reference's catch
+      cannot fire here and malformed payloads yield replacement-char
+      HTML that is re-encoded (verified against Node byte-for-byte:
+      '/w==' → '\\ufffd' → 'data:text/html;base64,77+9'). Emulated with
+      the same cleaning pipeline + try_to_binary + make_valid_utf8
+      (ANSI-safe; a round-3 revision wrongly folded these into the
+      ('', raw url) fallback the reference only uses for percent
+      payloads)."""
     u = F.col(url) if isinstance(url, str) else url
     comma = F.instr(u, ",")
     meta = F.substring(u, 1, comma - 1)
@@ -301,10 +306,21 @@ def sanitize_data_url_cols(url: Column | str, js_enabled: bool = False
     pct = F.call_function(
         "try_url_decode", F.replace(payload, F.lit("+"), F.lit("%2B"))
     )
-    b64_bin = F.try_to_binary(payload, F.lit("base64"))
-    b64_str = b64_bin.cast("string")  # reinterprets bytes, no validation
-    b64_html = F.when(
-        F.call_function("is_valid_utf8", b64_str), b64_str
+    # Node-lenient base64: strip non-alphabet, cut at first '=', drop a
+    # lone trailing char, re-pad to a multiple of 4 -> always decodable
+    b64_clean = F.split(
+        F.regexp_replace(payload, r"[^A-Za-z0-9+/=]", ""), "="
+    ).getItem(0)
+    n = F.length(b64_clean)
+    b64_kept = F.when(n % 4 == 1, b64_clean.substr(F.lit(1), n - 1)).otherwise(
+        b64_clean
+    )
+    b64_pad = F.rpad(
+        b64_kept, ((F.length(b64_kept) + 3) / 4).cast("int") * 4, "="
+    )
+    b64_html = F.call_function(
+        "make_valid_utf8",  # U+FFFD substitution == Buffer.toString('utf8')
+        F.try_to_binary(b64_pad, F.lit("base64")).cast("string"),
     )
     html = F.when(meta.contains(";base64"), b64_html).otherwise(pct)
     decoded_ok = html.isNotNull()

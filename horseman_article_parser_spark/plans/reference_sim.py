@@ -26,6 +26,7 @@ from ..operators.extract import extract_article
 SEQ_STRIDE = 1 << 40
 LINK_POS_STRIDE = 1 << 10  # must match plans.crawl.LINK_POS_STRIDE
 STREAM_SEQ_BASE = 1 << 60  # must match streaming.frontier_stream
+STREAM_BATCH_SEQ_STRIDE = 1 << 20  # StreamingSeedIngest.batch_seq_stride
 
 
 def js_url_host(u: str) -> str | None:
@@ -155,18 +156,29 @@ def sim_crawl(
             seq = (rnd + 1) * SEQ_STRIDE + parent_pos * LINK_POS_STRIDE + pos
             pending.append((url, seq, js_url_host(url), depth, priority))
 
-        # streamed-seed batch arriving between this round and the next
-        # (mirrors streaming.frontier_stream.StreamingSeedIngest)
+        # streamed-seed batches arriving between this round and the next
+        # (mirrors streaming.frontier_stream.StreamingSeedIngest
+        # batch-for-batch): value is either a list[str] (one batch,
+        # batch_id 0) or a list of (batch_id, urls) pairs. Seq carries
+        # the real ingest's batch_id * stride term; the seen-filter
+        # claims EVERY cleaned unseen URL (the engine claims before the
+        # host filter), while only host-bearing rows reach pending.
         if rnd in streamed_seeds:
-            cleaned = set()
-            for u in streamed_seeds[rnd]:
-                cu = canonicalize_url(u.strip())
-                if cu is None or skip_reason(cu) is not None:
-                    continue
-                cleaned.add(cu)
-            unseen = [u for u in sorted(cleaned)
-                      if u not in seen and js_url_host(u) is not None]
-            for idx, u in enumerate(unseen):
-                seen.add(u)
-                pending.append((u, STREAM_SEQ_BASE + idx, js_url_host(u), 0, 0.0))
+            batches = streamed_seeds[rnd]
+            if batches and not isinstance(batches[0], tuple):
+                batches = [(0, batches)]
+            for batch_id, urls in batches:
+                cleaned = set()
+                for u in urls:
+                    cu = canonicalize_url(u.strip())
+                    if cu is None or skip_reason(cu) is not None:
+                        continue
+                    cleaned.add(cu)
+                unseen = [u for u in sorted(cleaned) if u not in seen]
+                base = STREAM_SEQ_BASE + batch_id * STREAM_BATCH_SEQ_STRIDE
+                for idx, u in enumerate(unseen):
+                    seen.add(u)  # claimed even when the host filter drops it
+                    host = js_url_host(u)
+                    if host is not None:
+                        pending.append((u, base + idx, host, 0, 0.0))
     return waves

@@ -191,3 +191,44 @@ def test_jpeg_decoder_restart_markers():
     out = decode_jpeg(stream)
     assert out.shape == (8, 16, 3)
     assert (out == 160).all()
+
+
+def test_jpeg_fill_bytes_and_noninterleaved():
+    """Spec conformance edges (review r4): fill 0xFF bytes before a
+    marker (B.1.1.2) must parse; a non-interleaved multi-scan stream
+    must raise NotImplementedError instead of silently mis-decoding."""
+    import struct
+
+    from horseman_article_parser_spark.codecs.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px, _, _ = synth_pixels(0)
+    data = encode_jpeg(px, quality=75)
+    # inject a fill byte before the first DQT marker (after SOI+APP0)
+    app0_end = 2 + 2 + 16  # SOI + APP0 marker + APP0 payload
+    padded = data[:app0_end] + b"\xff" + data[app0_end:]
+    assert (decode_jpeg(padded) == decode_jpeg(data)).all()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt = np.full(64, 16, dtype=np.uint8)
+    non_interleaved = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes(qt))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 3)
+              + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + seg(0xFFC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # 1 of 3 comps
+        + bytes([0xD0, 0xAF])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(non_interleaved)

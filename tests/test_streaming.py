@@ -191,3 +191,45 @@ def test_windowed_metrics_append_mode_drops_late_events(spark, tmp_path):
     ]
     assert len(rows) == 1  # emitted exactly once, never re-emitted
     assert (rows[0].scheduled, rows[0].ok, rows[0].err) == (2, 1, 1)
+
+
+def test_multibatch_streamed_seeds_match_simulator(spark, tmp_path):
+    """Engine-vs-simulator parity for MULTI-batch streamed ingest
+    (review r4): two seed files at maxFilesPerTrigger=1 become batches
+    0 and 1 with seqs base + batch_id*2^20 + url-rank; the simulator's
+    (batch_id, urls) form must replay the engine's next-round wave
+    exactly."""
+    from horseman_article_parser_spark.datagen.frontier import seed_urls
+    from horseman_article_parser_spark.plans.reference_sim import sim_crawl
+
+    cfg = CrawlConfig(wave_size=12, round0_limit=8, default_host_budget=2,
+                      n_shards=4, total_bloom_bits=1 << 18)
+    sched = CrawlScheduler(spark, str(tmp_path / "store"), cfg)
+    seeds = build_seed_frontier(spark, 40)
+    sched.init_from_seeds(seeds)
+    sched.run_round(0)
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    batch0 = [f"https://latea.example/p/{i}" for i in range(3)]
+    batch1 = [f"https://lateb.example/p/{i}" for i in range(3)]
+    (seeds_dir / "a.txt").write_text("\n".join(batch0))
+    ingest = StreamingSeedIngest(sched)
+    q = ingest.start(str(seeds_dir), str(tmp_path / "ckpt"),
+                     max_files_per_trigger=1)
+    q.processAllAvailable()
+    (seeds_dir / "b.txt").write_text("\n".join(batch1))
+    q.processAllAvailable()
+    q.stop()
+    sched.run_round(1)
+    w1 = sched.store.read(spark, "waves", 1).orderBy("pos").collect()
+
+    sim = sim_crawl(
+        seed_urls(40), 2, wave_size=12, round0_limit=8,
+        default_host_budget=2,
+        streamed_seeds={0: [(0, batch0), (1, batch1)]},
+    )
+    assert [r.url for r in w1] == sim[1]
+    # both streamed hosts are budget-capped at 2 in the wave
+    streamed = [u for u in sim[1] if "late" in u]
+    assert len([u for u in streamed if "latea" in u]) == 2
+    assert len([u for u in streamed if "lateb" in u]) == 2

@@ -97,19 +97,30 @@ def test_sanitize_data_url(spark):
     assert rows[1].off == "<p>Hi</p>"
 
 
-def test_sanitize_data_url_malformed_payloads_fallback(spark):
-    """Base64 payloads that are not valid base64 OR decode to invalid
-    UTF-8 must fold into the reference's try/catch fallback
-    ('', raw url) — never mojibake, never an ANSI throw (ADVICE r3;
-    utils.js:11-28 Buffer→toString→catch)."""
+def test_sanitize_data_url_malformed_payloads_node_parity(spark):
+    """Node's Buffer.from(payload, 'base64').toString('utf8') NEVER
+    throws (utils.js:16-17): invalid base64 decodes leniently and
+    invalid UTF-8 becomes U+FFFD, then the mojibake HTML is re-encoded.
+    Only the percent branch (decodeURIComponent) can reach the
+    ('', raw url) catch. Expected values computed with Python's
+    equivalents of Node's exact semantics."""
     import base64
 
     from horseman_article_parser_spark.functions.urls import (
         sanitize_data_url_cols,
     )
 
-    bad_utf8 = ("data:text/html;base64,"
-                + base64.b64encode(b"\xff\xfe<p>x</p>").decode())
+    def node_b64(payload: str) -> bytes:
+        cleaned = "".join(
+            c for c in payload
+            if c.isalnum() and c.isascii() or c in "+/="
+        ).split("=")[0]
+        if len(cleaned) % 4 == 1:
+            cleaned = cleaned[:-1]
+        cleaned += "=" * (-len(cleaned) % 4)
+        return base64.b64decode(cleaned)
+
+    bad_utf8 = "data:text/html;base64,/w=="          # -> 0xFF -> U+FFFD
     not_b64 = "data:text/html;base64,!!!not-base64!!!"
     bad_pct = "data:text/html,%ZZbroken"
     good = ("data:text/html;base64,"
@@ -119,8 +130,14 @@ def test_sanitize_data_url_malformed_payloads_fallback(spark):
     )
     h, nu = sanitize_data_url_cols("u", js_enabled=False)
     rows = df.select(F.col("u"), h.alias("h"), nu.alias("nu")).collect()
-    for r in rows[:3]:
-        assert r.h == "", r
-        assert r.nu == r.u, r  # raw url passes through untouched
+    for r in rows[:2]:  # base64 rows: lenient decode + U+FFFD, no catch
+        payload = r.u.split(",", 1)[1]
+        expect_html = node_b64(payload).decode("utf-8", errors="replace")
+        assert r.h == expect_html, r
+        expect_url = ("data:text/html;base64,"
+                      + base64.b64encode(expect_html.encode()).decode())
+        assert r.nu == expect_url, r
+    # percent branch: decodeURIComponent throws -> ('', raw url)
+    assert rows[2].h == "" and rows[2].nu == bad_pct
     assert rows[3].h == "<p>fine</p>"
-    assert rows[3].nu.startswith("data:text/html;base64,")
+    assert rows[3].nu == good  # valid payload round-trips byte-identically
