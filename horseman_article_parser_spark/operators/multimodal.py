@@ -12,12 +12,13 @@ payload is a first-class column and the per-row invariant is decoded-
 pixel PSNR≥40dB + caption equality (verified in tests/test_images_table.py
 and tests/test_multimodal.py).
 
-Decode dispatch is real numpy for the engine's PNG/QJPG containers,
-PCM WAV audio, and the HVID frame container (all implementable without
-codec libraries); compressed-format entropy decoding (JPEG SOI, mp3,
-h264) is STUBBED behind NotImplementedError — the Spark plumbing
-(schema, Arrow batch shape, partitioning, UDF signature) is identical
-either way and fully tested.
+Decode dispatch is real numpy for PNG, baseline JPEG (round 4:
+codecs/jpeg.py huffman+DCT — SOI bytes decode for real), the legacy
+QJPG container, PCM WAV audio, and the HVID frame container; remaining
+compressed formats (mp3, h264, progressive JPEG) stay honest
+NotImplementedError stubs — the Spark plumbing (schema, Arrow batch
+shape, partitioning, UDF signature) is identical either way and fully
+tested.
 
 Scale rules encoded here:
 - `bytes` never enters a shuffle: kernels run as narrow `mapInPandas`
@@ -82,7 +83,7 @@ def image_features(images: DataFrame) -> DataFrame:
                          float(px[:, :, 2].mean()), float(luma.std()),
                          phash64(px), True)
                     )
-                except (NotImplementedError, ValueError):
+                except Exception:  # corrupt payloads: struct/zlib/Index errors too
                     rows.append((image_id, int(w), int(h), fmt,
                                  None, None, None, None, None, False))
             yield pd.DataFrame(
@@ -106,7 +107,7 @@ def thumbnails(images: DataFrame, tw: int = 16, th: int = 16) -> DataFrame:
             for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
                     px = decode_image(bytes(data))
-                except (NotImplementedError, ValueError):
+                except Exception:  # corrupt payloads: struct/zlib/Index errors too
                     continue
                 ids.append(image_id)
                 out.append(encode_png(_resize_nearest(px, tw, th)))
@@ -133,7 +134,7 @@ def psnr_vs_reference(images: DataFrame, reference_pixels) -> DataFrame:
                     px = decode_image(bytes(data))
                     ref = reference_pixels(image_id)
                     rows.append((image_id, psnr(ref, px), caption))
-                except (NotImplementedError, ValueError):
+                except Exception:  # corrupt payloads: struct/zlib/Index errors too
                     rows.append((image_id, None, caption))
             yield pd.DataFrame(rows, columns=["image_id", "psnr_db", "caption"])
 

@@ -124,3 +124,26 @@ def test_reference_quality_rows_present(spark):
         assert bytes(r.bytes) == encode_jpeg(px, q)
         n_q40 += q == 40
     assert n_q40 >= 1  # id 3 (640x480 smooth) is inside the first 16
+
+
+def test_image_features_survives_truncated_payload(spark):
+    """A truncated JPEG raises struct/Index errors (not just the typed
+    codec errors) — the feature kernel must emit decode_ok=False for
+    that row instead of failing the whole scan (review r4 follow-up)."""
+    from horseman_article_parser_spark.operators.multimodal import (
+        image_features,
+    )
+
+    good = build_images_table(spark, 4)
+    jpeg_bytes = bytes(
+        next(r for r in good.collect() if r.fmt == "jpeg").bytes
+    )
+    bad = spark.createDataFrame(
+        [("img-trunc", bytearray(jpeg_bytes[:40]), 1, 1, "jpeg",
+          "cap", 0)],
+        good.schema,
+    )
+    rows = image_features(good.unionByName(bad)).collect()
+    by_id = {r.image_id: r for r in rows}
+    assert by_id["img-trunc"].decode_ok is False
+    assert sum(r.decode_ok for r in rows) == 4
