@@ -133,21 +133,27 @@ def _run_crawl(spark, seeds_n: int, wave: int, rounds: int, cfg=None) -> dict:
         t0 = time.monotonic()
         scheduled = 0
         per_round = []
+        per_round_scheduled = []
         for r in range(rounds):
             metrics = sched.run_round(r)
             scheduled += metrics.get("scheduled", 0)
             per_round.append(round(metrics["seconds"], 3))
+            per_round_scheduled.append(metrics.get("scheduled", 0))
         dt = time.monotonic() - t0
         # steady-state figure: exclude round 0, which pays residual JIT
         # even after the warm-up rounds (round_sec history: r3 recorded
-        # [39.7, 15.5, 8.9] for identical per-round work)
+        # [39.7, 15.5, 8.9] for identical per-round work). Uses the
+        # EXACT scheduled count of rounds 1..n (round 0's wave can be
+        # limited by round0_limit, so a uniform rounds-1/rounds scaling
+        # would skew the figure).
         steady_sec = sum(per_round[1:])
-        steady_urls = scheduled * (rounds - 1) / rounds if rounds else 0
+        steady_urls = sum(per_round_scheduled[1:])
         return {
             "rounds": rounds,
             "urls_scheduled": scheduled,
             "sec": round(dt, 3),
             "round_sec": per_round,
+            "round_scheduled": per_round_scheduled,
             "urls_per_sec": round(scheduled / dt, 1) if dt > 0 else None,
             "steady_urls_per_sec": (
                 round(steady_urls / steady_sec, 1) if steady_sec > 0 else None
@@ -183,6 +189,18 @@ def main():
     ).save()
 
     qtimes, qruns = bench_queries(spark, E.queries())
+
+    # Hard cost pins (VERDICT r4 #2): breadth growth must not ship a
+    # wall-time regression. best-of-2 min is steal-robust; a genuine
+    # regression fails the bench loudly instead of being footnoted.
+    LANGID_PIN_SEC = 5.8
+    if qtimes.get("langid", 0) > LANGID_PIN_SEC:
+        raise AssertionError(
+            f"langid cost pin violated: best-of-2 {qtimes['langid']}s "
+            f"> {LANGID_PIN_SEC}s — reduce per-row scoring cost before "
+            "growing language breadth"
+        )
+
     crawl = bench_crawl(spark)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)

@@ -16,10 +16,12 @@ Scope (honestly stated):
   the output is self-describing standard JPEG for any conformant
   decoder regardless of table choice.
 - ``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit, grayscale or
-  3-component, ARBITRARY sampling factors 1-4 (4:4:4 / 4:2:2 / 4:2:0
-  all work), single interleaved scan, restart markers (DRI/RSTn),
-  multi-table DQT/DHT segments. Progressive (SOF2), arithmetic coding,
-  and 12-bit precision raise NotImplementedError.
+  3-component, integer-ratio sampling factors 1-4 (4:4:4 / 4:2:2 /
+  4:2:0 all work; each component's factor must divide the frame max —
+  non-divisible ratios like 3:2 raise NotImplementedError), single
+  interleaved scan, restart markers (DRI/RSTn), multi-table DQT/DHT
+  segments. Progressive (SOF2), arithmetic coding, and 12-bit
+  precision raise NotImplementedError.
 
 Performance shape: everything per-pixel is vectorized numpy (color
 convert, DCT/IDCT via matrix einsum over all blocks at once, plane
@@ -576,6 +578,14 @@ def _decode_scan(data, pos, frame, scan, qtables, hufftables, restart_interval):
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
+    for c in frame["comps"]:
+        # integer-repeat upsampling needs each factor to divide the max;
+        # a 3:2 ratio would build an undersized plane and crash later
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                "non-integer-ratio sampling factors "
+                f"({c['h']}x{c['v']} vs max {hmax}x{vmax})"
+            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y

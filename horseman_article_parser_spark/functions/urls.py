@@ -307,9 +307,14 @@ def sanitize_data_url_cols(url: Column | str, js_enabled: bool = False
         "try_url_decode", F.replace(payload, F.lit("+"), F.lit("%2B"))
     )
     # Node-lenient base64: strip non-alphabet, cut at first '=', drop a
-    # lone trailing char, re-pad to a multiple of 4 -> always decodable
+    # lone trailing char, re-pad to a multiple of 4 -> always decodable.
+    # Node's decoder accepts the base64url alphabet too ('-'/'_' map to
+    # '+'/'/'), so those are kept and translated, not stripped.
     b64_clean = F.split(
-        F.regexp_replace(payload, r"[^A-Za-z0-9+/=]", ""), "="
+        F.translate(
+            F.regexp_replace(payload, r"[^A-Za-z0-9+/=_-]", ""), "-_", "+/"
+        ),
+        "=",
     ).getItem(0)
     n = F.length(b64_clean)
     b64_kept = F.when(n % 4 == 1, b64_clean.substr(F.lit(1), n - 1)).otherwise(

@@ -179,6 +179,65 @@ FIRST_NAMES = set(
     "bob alan jeanluc pierre hans jurgen klaus".split()
 )
 
+# Compact surname lexicon for the lowercase-entity pass (the
+# deterministic stand-in for compromise's #LastName lexicon). Common
+# public surnames (census-style top names + the reference's own test
+# fixtures). A surname listed here stays recognizable even when it is
+# ALSO an ordinary dictionary word ("doe", "smith", "brown") — the
+# common-word guard alone would reject those as the wordlist grows.
+SURNAMES = set(
+    "smith johnson williams brown jones garcia miller davis rodriguez "
+    "martinez hernandez lopez gonzalez wilson anderson thomas taylor moore "
+    "jackson martin lee perez thompson white harris sanchez clark ramirez "
+    "lewis robinson walker young allen king wright scott torres nguyen hill "
+    "flores green adams nelson baker hall rivera campbell mitchell carter "
+    "roberts gomez phillips evans turner diaz parker cruz edwards collins "
+    "reyes stewart morris morales murphy cook rogers gutierrez ortiz morgan "
+    "cooper peterson bailey reed kelly howard ramos kim cox ward richardson "
+    "watson brooks chavez wood james bennett gray mendoza ruiz hughes price "
+    "alvarez castillo sanders patel myers long ross foster jimenez powell "
+    "jenkins perry russell sullivan bell coleman butler henderson barnes "
+    "fisher doe merkel macron scholz sunak trudeau ardern okonkwo adeyemi "
+    "kowalski novak ivanov petrov yamamoto tanaka suzuki sato chen wang "
+    "zhang liu singh kumar sharma khan ali hassan ahmed mohammed abadi "
+    "haddad nasser mbeki kenyatta mandela nkrumah toure diallo keita "
+    "dubois lefebvre moreau fontaine rossi ferrari romano ricci esposito "
+    "silva santos oliveira pereira costa almeida fernandez dominguez "
+    "vasquez herrera medina aguilar castro vargas guzman mejia rojas".split()
+)
+
+# Context-trigger vocab for the lowercase pass: a role word, reporting
+# verb, organization descriptor, or locative preposition legitimizes
+# the adjacent lowercase out-of-lexicon tokens as a named entity — the
+# deterministic stand-in for compromise's context patterns. Role vocab
+# mirrors the reference's JOB_TITLE_CORE_WORDS
+# (/root/reference/controllers/entityParser.js:46-57); honorifics
+# mirror entityParser.js:81.
+ROLE_TRIGGERS = {
+    "ceo", "cto", "cfo", "coo", "cmo", "cio", "chair", "chairman",
+    "chairwoman", "president", "director", "founder", "cofounder",
+    "professor", "minister", "governor", "ambassador", "analyst",
+    "engineer", "researcher", "reporter", "journalist", "scientist",
+    "manager", "officer", "captain", "dean", "editor", "author",
+    "lawyer", "attorney", "physician", "surgeon",
+}
+REPORT_VERBS = {
+    "said", "told", "hired", "met", "asked", "quoted", "interviewed",
+    "appointed", "promoted", "named", "succeeded",
+}
+ORG_CONTEXT_WORDS = {
+    "startup", "company", "firm", "manufacturer", "retailer", "airline",
+    "carrier", "automaker", "chipmaker", "insurer", "publisher", "label",
+    "conglomerate", "subsidiary",
+}
+ORG_TAIL_WORDS = {
+    "robotics", "labs", "laboratories", "technologies", "systems",
+    "industries", "ventures", "partners", "holdings", "logistics",
+    "analytics", "dynamics", "networks", "solutions", "biosciences",
+    "pharmaceuticals", "semiconductors", "aerospace", "motors",
+} | ORG_SUFFIXES
+PLACE_PREPOSITIONS = {"in", "from", "near"}
+
 _COMMON_WORDS_CACHE: set[str] | None = None
 
 
@@ -630,7 +689,21 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
     lower_set = {
         n for t, n in zip(raw_tokens, lower_norm) if n and t == t.lower()
     }
-    norm_text = " " + _norm_simple(text) + " "
+    def _lower_span_exists(name_toks: list[str]) -> bool:
+        """True iff the phrase occurs as CONSECUTIVE all-lowercase
+        tokens. Substring-matching the case-folded whole text was wrong
+        (r4 ADVICE): a phrase present only in cased form plus an
+        unrelated lowercase lead token elsewhere would emit a spurious
+        entity the cased grammar already absorbed into a longer span."""
+        n = len(name_toks)
+        for s in range(len(lower_norm) - n + 1):
+            if lower_norm[s:s + n] == name_toks and all(
+                raw_tokens[s + j] == raw_tokens[s + j].lower()
+                for j in range(n)
+            ):
+                return True
+        return False
+
     for gaz, bucket, seen in (
         (places_gaz, places, seen_pl),
         (orgs_gaz, orgs, seen_o),
@@ -639,10 +712,10 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
         # depend on PYTHONHASHSEED or the emitted array order would
         # differ between executor processes
         for name in sorted(gaz):
-            first_tok = name.split(" ", 1)[0]
-            if first_tok not in lower_set:
+            name_toks = name.split(" ")
+            if name_toks[0] not in lower_set:
                 continue  # no lowercase occurrence of its lead token
-            if (" " in name) and (f" {name} " not in norm_text):
+            if len(name_toks) > 1 and not _lower_span_exists(name_toks):
                 continue
             if normalize_entity(name) in seen:
                 continue
@@ -667,7 +740,7 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
                     i += 2
                     continue
                 if (
-                    nxt not in common_words
+                    (nxt in SURNAMES or nxt not in common_words)
                     and nxt not in places_gaz
                     and nxt not in orgs_gaz
                     and nxt.isalpha()
@@ -678,6 +751,92 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
                     i += 2
                     continue
         i += 1
+
+    # Context-trigger pass (round 5): role words, reporting verbs,
+    # organization descriptors, and locative prepositions legitimize
+    # adjacent lowercase OUT-OF-LEXICON tokens — the deterministic
+    # stand-in for the statistical patterns that let the reference's
+    # recognizer catch irregular entities ("the startup deepgram hired
+    # zuri okafor from acme robotics"). Rules run org → person → place
+    # and share a consumed-index set so one surface form classifies
+    # exactly once.
+    consumed: set[int] = set()
+
+    def _unknown_tok(idx: int) -> bool:
+        if idx >= len(raw_tokens) or idx in consumed:
+            return False
+        t, n = raw_tokens[idx], lower_norm[idx]
+        return bool(
+            t == t.lower() and n and n.isalpha()
+            and n not in common_words
+            and n not in places_gaz and n not in orgs_gaz
+            and n not in FIRST_NAMES and n not in SURNAMES
+            and n not in SENTENCE_STARTERS
+            and n not in HONORIFICS
+            # trigger vocab is "known" by definition — without this,
+            # "deepgram hired" would merge into one org span
+            and n not in ROLE_TRIGGERS and n not in REPORT_VERBS
+            and n not in ORG_CONTEXT_WORDS and n not in ORG_TAIL_WORDS
+            and n not in PLACE_PREPOSITIONS
+        )
+
+    # org descriptor ("the startup deepgram") or org tail word
+    # ("acme robotics"): unknown-token spans become orgs
+    for i, n in enumerate(lower_norm):
+        if n in ORG_CONTEXT_WORDS and _unknown_tok(i + 1):
+            span = [i + 1]
+            while (
+                span[-1] + 1 < len(raw_tokens) and len(span) < 3
+                and (_unknown_tok(span[-1] + 1)
+                     or lower_norm[span[-1] + 1] in ORG_TAIL_WORDS)
+            ):
+                span.append(span[-1] + 1)
+            name = " ".join(lower_norm[j] for j in span)
+            consumed.update(span)
+            add(orgs, _title(name), seen_o)
+            add(topics, _title(name), seen_t)
+        elif (
+            n in ORG_TAIL_WORDS and i > 0 and _unknown_tok(i - 1)
+            and raw_tokens[i] == raw_tokens[i].lower()
+        ):
+            name = f"{lower_norm[i - 1]} {n}"
+            consumed.update((i - 1, i))
+            add(orgs, _title(name), seen_o)
+            add(topics, _title(name), seen_t)
+
+    # role/reporting trigger + lowercase name pair ("hired zuri okafor",
+    # "ceo jane doe"): first token unknown-or-first-name, second token
+    # unknown-or-surname
+    for i, n in enumerate(lower_norm):
+        if n in ROLE_TRIGGERS or n in REPORT_VERBS:
+            a, b = i + 1, i + 2
+            if b >= len(raw_tokens) or a in consumed or b in consumed:
+                continue
+            na, nb = lower_norm[a], lower_norm[b]
+            if not (
+                raw_tokens[a] == raw_tokens[a].lower()
+                and raw_tokens[b] == raw_tokens[b].lower()
+                and na.isalpha() and nb.isalpha()
+                and (na in FIRST_NAMES or _unknown_tok(a))
+                and (nb in SURNAMES or _unknown_tok(b))
+            ):
+                continue
+            consumed.update((a, b))
+            full = _title(f"{na} {nb}")
+            add(people, full, seen_p)
+            add(topics, full, seen_t)
+
+    # locative preposition + unknown token ("from ouagadougou") → place;
+    # skipped when the next token is an org tail ("from acme robotics"
+    # is the org rule's territory, already consumed above)
+    for i, n in enumerate(lower_norm):
+        if n in PLACE_PREPOSITIONS and _unknown_tok(i + 1):
+            if i + 2 < len(raw_tokens) and lower_norm[i + 2] in ORG_TAIL_WORDS:
+                continue
+            consumed.add(i + 1)
+            name = _title(lower_norm[i + 1])
+            add(places, name, seen_pl)
+            add(topics, name, seen_t)
 
     # J5 hint cross-product (entityParser.js:1645-1657): every
     # hints.first × hints.last pair substring-searched in the normalized

@@ -111,10 +111,11 @@ def test_sanitize_data_url_malformed_payloads_node_parity(spark):
     )
 
     def node_b64(payload: str) -> bytes:
+        # Node also accepts the base64url alphabet: '-'/'_' -> '+'/'/'.
         cleaned = "".join(
             c for c in payload
-            if c.isalnum() and c.isascii() or c in "+/="
-        ).split("=")[0]
+            if c.isalnum() and c.isascii() or c in "+/=-_"
+        ).translate(str.maketrans("-_", "+/")).split("=")[0]
         if len(cleaned) % 4 == 1:
             cleaned = cleaned[:-1]
         cleaned += "=" * (-len(cleaned) % 4)
@@ -122,22 +123,27 @@ def test_sanitize_data_url_malformed_payloads_node_parity(spark):
 
     bad_utf8 = "data:text/html;base64,/w=="          # -> 0xFF -> U+FFFD
     not_b64 = "data:text/html;base64,!!!not-base64!!!"
+    b64url = ("data:text/html;base64,"
+              + base64.urlsafe_b64encode(b"<p>a?b></p>").decode())
+    mixed = "data:text/html;base64,A-B_C"  # '-'/'_' decode, not stripped
     bad_pct = "data:text/html,%ZZbroken"
     good = ("data:text/html;base64,"
             + base64.b64encode(b"<p>fine</p>").decode())
     df = spark.createDataFrame(
-        [(bad_utf8,), (not_b64,), (bad_pct,), (good,)], ["u"]
+        [(bad_utf8,), (not_b64,), (b64url,), (mixed,), (bad_pct,), (good,)],
+        ["u"],
     )
     h, nu = sanitize_data_url_cols("u", js_enabled=False)
     rows = df.select(F.col("u"), h.alias("h"), nu.alias("nu")).collect()
-    for r in rows[:2]:  # base64 rows: lenient decode + U+FFFD, no catch
+    for r in rows[:4]:  # base64 rows: lenient decode + U+FFFD, no catch
         payload = r.u.split(",", 1)[1]
         expect_html = node_b64(payload).decode("utf-8", errors="replace")
         assert r.h == expect_html, r
         expect_url = ("data:text/html;base64,"
                       + base64.b64encode(expect_html.encode()).decode())
         assert r.nu == expect_url, r
+    assert rows[2].h == "<p>a?b></p>"  # base64url round-trips cleanly
     # percent branch: decodeURIComponent throws -> ('', raw url)
-    assert rows[2].h == "" and rows[2].nu == bad_pct
-    assert rows[3].h == "<p>fine</p>"
-    assert rows[3].nu == good  # valid payload round-trips byte-identically
+    assert rows[4].h == "" and rows[4].nu == bad_pct
+    assert rows[5].h == "<p>fine</p>"
+    assert rows[5].nu == good  # valid payload round-trips byte-identically
