@@ -565,8 +565,17 @@ def _synth_feeds(spark, sf_dir, sitemap: bool):
 def q_feeds_extract(spark, sf_dir):
     """S3 RSS + S4 sitemap link extraction in one union surface (both
     the guid-replaces-channel-link rule and the <loc> path are
-    oracle-checked; kind marks the source format)."""
-    from horseman_article_parser_spark.sources.feeds import extract_feed_links
+    oracle-checked; kind marks the source format), plus the r5 folds:
+    kind='feedlist' drives the S2 feeds-scan rule (trim, drop blanks
+    and `#` comments, fetch-curated-urls.js:22-30) and kind='csvmerge'
+    the S11 merge rule (unique trimmed rows, reappearing header
+    dropped, merge-csv.js:15-43) — both over by-construction line sets
+    from `documents`."""
+    from horseman_article_parser_spark.sources.feeds import (
+        extract_feed_links,
+        feeds_from_lines,
+        merge_csv_rows,
+    )
 
     spark = _prep(spark)
     rss = extract_feed_links(_synth_feeds(spark, sf_dir, sitemap=False)).select(
@@ -575,7 +584,37 @@ def q_feeds_extract(spark, sf_dir):
     sm = extract_feed_links(_synth_feeds(spark, sf_dir, sitemap=True)).select(
         F.lit("sitemap").alias("kind"), "feed_url", "pos", "url"
     )
-    return rss.unionByName(sm)
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id").cast("string")
+    # S2 lines: comment / padded URL / blank / clean URL by residue
+    feed_line = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("# curated "), d))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("  https://feeds.example/rss/"), d, F.lit("  ")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("   "))
+        .otherwise(F.concat(F.lit("https://feeds.example/atom/"), d))
+    )
+    fl = feeds_from_lines(
+        docs.select("doc_id", feed_line.alias("value"))
+    ).select(
+        F.lit("feedlist").alias("kind"), "feed_url",
+        F.col("doc_id").cast("int").alias("pos"),
+        F.col("feed_url").alias("url"),
+    )
+    # S11 lines: two overlapping synthetic CSV files, header repeated in
+    # the second file, every third row duplicated across both
+    csv_line = F.concat(F.lit("https://row.example/"),
+                        (F.col("doc_id") % 40).cast("string"), F.lit(",ok"))
+    file2_line = F.when(F.col("doc_id") % 7 == 0, F.lit("url,status")) \
+        .otherwise(csv_line)
+    csv_lines = docs.select(csv_line.alias("value")).unionAll(
+        docs.select(file2_line.alias("value"))
+    )
+    merged = merge_csv_rows(csv_lines, "url,status").select(
+        F.lit("csvmerge").alias("kind"), F.lit("merged").alias("feed_url"),
+        F.lit(0).alias("pos"), F.col("row").alias("url"),
+    )
+    return rss.unionByName(sm).unionByName(fl).unionByName(merged)
 
 
 def q_extract_structured(spark, sf_dir):
@@ -798,21 +837,21 @@ def q_langid(spark, sf_dir):
     # kicks the plan out of codegen (see trigram_lang_scores docstring)
     base = docs.select("doc_id", sample.alias("txt")).withColumn(
         "_nt", TS.lang_normtext_col("txt")
-    ).withColumn(
-        # one regex scan per DISTINCT script per row (24+Latin), shared
-        # by all 52 gates — a row only scores profiles of its script
-        "_gf", TS.script_gate_flags_col(F.col("_nt"))
     )
-    st = TS.langid_struct_col(F.col("_nt"), prenormalized=True,
-                              gate_flags=F.col("_gf"))
-    scores = TS.trigram_lang_scores(F.col("_nt"), prenormalized=True,
-                                    gate_flags=F.col("_gf"))
-    best = F.greatest(*scores.values())
+    # SCALE PATH (r5, closes the r4 langid cost-pin miss): the Column-
+    # algebra form needs 70×15 replace-scans in one projection; janino
+    # aborts codegen at that size ('Code grows beyond 64 KB') and the
+    # whole tree runs interpreted (~45 ms/row at sf0.1 — and the r4
+    # shape even evaluated it twice, once for the winner struct, once
+    # for best_score). langid_batch_col is one Arrow-batched kernel
+    # doing the identical integer arithmetic (bit-parity pinned in
+    # test_textstats), O(|text| + gated profiles) per row.
+    st = TS.langid_batch_col(F.col("_nt"))
     return base.select(
         "doc_id",
         st["iso6391"].alias("iso6391"),
         st["iso6393"].alias("iso6393"),
-        best.alias("best_score"),
+        st["best_score"].alias("best_score"),
     )
 
 
@@ -836,18 +875,39 @@ def q_string_helpers(spark, sf_dir):
     """X3 stripPunctuation + X5 toTitleCase (helpers.js:98-109) — exact
     string oracle incl. the JS quirks (ASCII-\\w title casing leaves a
     leading accented char untouched; apostrophes/hyphens survive the
-    punctuation strip)."""
+    punctuation strip). r5 folds: X2 stripPossessive (helpers.js:81-96,
+    's / trailing-punct removal on a probe token), X4
+    capitalizeFirstLetter (helpers.js:77-79), and X24's dot-product
+    scorer core (contentDetector.js:583-589) as the EXACT integer-scaled
+    logit z_x1e6 plus the sigmoid(z)>0.5 decision boolean — the
+    transcendental e^-z itself stays pytest-pinned
+    (test_content_detector) because float hashes don't cross engines."""
     docs = _load(_prep(spark), sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     raw = F.concat(
         F.lit("the QUICK brown—fox's №"), d, F.lit(" (mixed) élan  runs"),
     )
+    poss = F.concat(F.lit("editor"), d, F.lit("'s?!"))
+    # X24 probe: v = 4 integer-percent features from doc_id, weights
+    # ±{25,50,75,100}/100, bias -1 → z in exact 1e-6 units
+    v = [(F.col("doc_id") % m).cast("long") for m in (7, 11, 13, 17)]
+    w = [25, -50, 75, -100]  # weights × 100
+    z_x1e6 = (
+        F.lit(-1_000_000)
+        + sum(vi * F.lit(wi * 10_000) for vi, wi in zip(v, w))
+    ).cast("long")
     return docs.select(
         "doc_id",
         TS.strip_punctuation_col(raw).alias("stripped"),
         TS.title_case_col(raw).alias("titled"),
         # X1 normalization folded in (formerly normalize_entity)
         TS.normalize_text_col(raw).alias("normalized"),
+        TS.strip_possessive_col(poss).alias("possessive_stripped"),
+        TS.capitalize_first_col(F.concat(F.lit("élan doc "), d))
+        .alias("capitalized"),
+        z_x1e6.alias("z_x1e6"),
+        (1.0 / (1.0 + F.exp(-z_x1e6.cast("double") / 1e6)) > 0.5)
+        .alias("score_positive"),
     )
 
 
@@ -1730,8 +1790,13 @@ def q_liveblog(spark, sf_dir):
 
 def q_windowed_metrics(spark, sf_dir):
     """T7/T8 windowed per-host crawl metrics (same operator the
-    streaming path uses; watermarking is a no-op on batch input).
-    Hosts/status/fetch_ms synthesized from events by construction."""
+    streaming path uses; watermarking is a no-op on batch input), plus
+    the r5 folds: A2 amp-vs-dynamic source counts
+    (batch-sample-run.js:376-377) as n_amp/n_dynamic and the T8
+    progress/lineage surface (phase-tagged status lines,
+    index.js:136-158) as phases/last_ts — all on the same single
+    window+host shuffle. Hosts/status/fetch_ms/source/phase synthesized
+    from events by construction."""
     from horseman_article_parser_spark.streaming.frontier_stream import (
         windowed_host_metrics,
     )
@@ -1743,15 +1808,21 @@ def q_windowed_metrics(spark, sf_dir):
                  F.lit(".example.com")).alias("host"),
         F.when(F.col("event_type") == "error", 500).otherwise(200).alias("status"),
         F.floor(F.col("value") * 100).cast("int").alias("fetch_ms"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("amp"))
+        .otherwise(F.lit("dynamic")).alias("source"),
+        F.concat(F.lit("parse:"), F.col("event_type")).alias("phase"),
     )
     out = windowed_host_metrics(events, window_duration="1 hour",
-                                watermark="2 hours")
+                                watermark="2 hours",
+                                source_col="source", phase_col="phase")
     # Parity rule: floats never reach the driver's hash — scale to BIGINT
     # (round(x*10^4)) on BOTH engine and oracle sides (VERDICT r02 #1).
     return out.select(
         F.unix_timestamp("window_start").alias("win_start"),
         "host", "scheduled", "ok", "err",
         F.round(F.col("avg_ms") * 10000).cast("bigint").alias("avg_ms_x1e4"),
+        "n_amp", "n_dynamic", "phases",
+        F.unix_timestamp("last_event").alias("last_ts"),
     )
 
 
@@ -2504,6 +2575,18 @@ SELECT 'sitemap' AS kind, source AS feed_url,
        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS pos,
        'https://' || source || '.example.com/page-' || doc_id AS url
 FROM documents WHERE doc_id < 300
+UNION ALL
+SELECT 'feedlist' AS kind,
+       CASE WHEN doc_id % 4 = 1 THEN 'https://feeds.example/rss/' || doc_id
+            ELSE 'https://feeds.example/atom/' || doc_id END AS feed_url,
+       CAST(doc_id AS INT) AS pos,
+       CASE WHEN doc_id % 4 = 1 THEN 'https://feeds.example/rss/' || doc_id
+            ELSE 'https://feeds.example/atom/' || doc_id END AS url
+FROM documents WHERE doc_id < 200 AND doc_id % 4 IN (1, 3)
+UNION ALL
+SELECT DISTINCT 'csvmerge' AS kind, 'merged' AS feed_url, 0 AS pos,
+       'https://row.example/' || (doc_id % 40) || ',ok' AS url
+FROM documents WHERE doc_id < 200
 """.strip(),
         "extract_title": """
 SELECT doc_id, 'OG Doc ' || doc_id AS title,
@@ -2685,7 +2768,20 @@ SELECT doc_id,
                 || lower(substr(w, length(regexp_extract(w, '^([^\\w]*)', 1)) + 2))
          ), ' ') AS titled,
        lower(trim(regexp_replace(regexp_replace(raw, '[^A-Za-z0-9À-￿]+', ' ', 'g'),
-                                 '\\s+', ' ', 'g'))) AS normalized
+                                 '\\s+', ' ', 'g'))) AS normalized,
+       regexp_replace(regexp_replace('editor' || doc_id || '''s?!',
+                                     '[''’][sS]\\b', '', 'g'),
+                      '[^\\p{L}\\p{N}]+$', '', 'g') AS possessive_stripped,
+       upper(substr('élan doc ' || doc_id, 1, 1))
+         || substr('élan doc ' || doc_id, 2) AS capitalized,
+       CAST(-1000000
+            + (doc_id % 7) * 250000 - (doc_id % 11) * 500000
+            + (doc_id % 13) * 750000 - (doc_id % 17) * 1000000
+            AS BIGINT) AS z_x1e6,
+       ((-1000000
+         + (doc_id % 7) * 250000 - (doc_id % 11) * 500000
+         + (doc_id % 13) * 750000 - (doc_id % 17) * 1000000) > 0)
+         AS score_positive
 FROM d
 """.strip(),
         "keywords_cleaned": f"""
@@ -2981,7 +3077,11 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
        count(*) AS scheduled,
        CAST(sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS BIGINT) AS ok,
        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
-       CAST(round(avg(CAST(floor(value * 100) AS INT)) * 10000) AS BIGINT) AS avg_ms_x1e4
+       CAST(round(avg(CAST(floor(value * 100) AS INT)) * 10000) AS BIGINT) AS avg_ms_x1e4,
+       CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_amp,
+       CAST(sum(CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_dynamic,
+       string_agg(DISTINCT 'parse:' || event_type, ',' ORDER BY 'parse:' || event_type) AS phases,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
 FROM events GROUP BY 1, 2
 """.strip(),
         "sessionize": """

@@ -321,18 +321,15 @@ def trigram_lang_scores(text: Column | str,
     return out
 
 
-def langid_struct_col(text: Column | str,
-                      profiles: dict[str, tuple[str, ...]] | None = None,
-                      prenormalized: bool = False,
-                      gate_flags: Column | None = None) -> Column:
-    """N1 full output: struct(iso6391, iso6393) like the reference's
-    detectLanguage (language.js:26-46). Winner = max trigram score,
-    alphabetical iso6393 tie-break, all-zero → eng/en. See
-    trigram_lang_scores on prenormalized / gate_flags."""
-    p = profiles or LANG_TRIGRAMS
-    langs = sorted(p)
-    scores = trigram_lang_scores(text, p, prenormalized=prenormalized,
-                                 gate_flags=gate_flags)
+def langid_from_scores(scores: dict[str, Column]) -> Column:
+    """Winner struct(iso6391, iso6393) from an ALREADY-BUILT per-language
+    score dict. Callers that also need the raw scores (best_score
+    columns, diagnostics) must use this instead of langid_struct_col —
+    whole-stage codegen does not common-subexpression-eliminate the
+    ~1000 trigram-count terms across two separate projections, so
+    computing the struct and the scores independently doubles the
+    per-row work (measured: the r4 langid bench paid exactly that)."""
+    langs = sorted(scores)
     entries = [
         F.struct(scores[lang].alias("score"), F.lit(-i).alias("negrank"))
         for i, lang in enumerate(langs)
@@ -349,6 +346,114 @@ def langid_struct_col(text: Column | str,
         best["score"] > 0, F.element_at(iso1_arr, -best["negrank"] + 1)
     ).otherwise(F.lit(LANG_DEFAULT))
     return F.struct(iso1.alias("iso6391"), iso3.alias("iso6393"))
+
+
+def langid_struct_col(text: Column | str,
+                      profiles: dict[str, tuple[str, ...]] | None = None,
+                      prenormalized: bool = False,
+                      gate_flags: Column | None = None) -> Column:
+    """N1 full output: struct(iso6391, iso6393) like the reference's
+    detectLanguage (language.js:26-46). Winner = max trigram score,
+    alphabetical iso6393 tie-break, all-zero → eng/en. See
+    trigram_lang_scores on prenormalized / gate_flags, and
+    langid_from_scores when the caller ALSO needs the score columns."""
+    scores = trigram_lang_scores(text, profiles or LANG_TRIGRAMS,
+                                 prenormalized=prenormalized,
+                                 gate_flags=gate_flags)
+    return langid_from_scores(scores)
+
+
+def langid_batch_col(norm_text: Column) -> Column:
+    """The SCALE path for full-breadth language ID: one Arrow-batched
+    kernel returning struct(iso6391, iso6393, best_score) — bit-exact
+    with the Column-algebra path (pinned by
+    tests/test_textstats.py::test_langid_batch_kernel_matches_column_algebra).
+
+    Why a kernel and not Column algebra: the declarative form needs
+    |languages| × 15 replace-scans in ONE projection; at 70 languages
+    that is ~1050 expression terms and janino aborts whole-stage
+    codegen with 'Code grows beyond 64 KB', leaving the whole scoring
+    tree in interpreted mode (~45 ms/row measured at sf0.1). Per
+    Arrow batch this kernel does the identical arithmetic with
+    C-level non-overlapping `str.count` (== the replace-based count)
+    plus compiled script-gate regexes, in O(|text| + gated profiles):
+    ~1 ms/row, and breadth growth costs O(1) per added language for
+    non-matching scripts. Input must ALREADY be lang_normtext_col
+    output (normalization stays JVM-side).
+
+    Semantics replicated exactly: per-trigram weight (15-rank),
+    non-overlapping counts, script gates as hard zeroes, max score
+    with alphabetical-iso6393 tie-break, all-zero -> eng/en."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # plain-data captures only (closures must pickle to executors)
+    profiles = {
+        lang: tuple((tg, len(tgs) - i) for i, tg in enumerate(tgs))
+        for lang, tgs in LANG_TRIGRAMS.items()
+    }
+    gates = dict(LANG_SCRIPT_GATES)
+    iso1_map = dict(ISO3_TO_1)
+    default3, default1 = LANG_DEFAULT_ISO3, LANG_DEFAULT
+
+    # Python re lacks Java's \p{IsLatin}; this class covers Basic Latin
+    # + Latin-1/Extended-A/B + IPA + Latin Extended Additional — a
+    # superset of every character any Latin profile trigram uses, so
+    # the gate stays an exact identity (a Latin trigram occurring in
+    # the text implies the class matches).
+    latin_cls = (
+        "[A-Za-zÀ-ÖØ-öø-ʯḀ-ỿ]"
+    )
+
+    def _kernel(s):
+        gate_res = {g: _re.compile(g) for g in set(gates.values())}
+        latin_re = _re.compile(latin_cls)
+        by_gate: dict = {}
+        for lang in sorted(profiles):
+            by_gate.setdefault(gates.get(lang), []).append(lang)
+        iso1_out, iso3_out, best_out = [], [], []
+        for nt in s:
+            nt = nt or ""
+            best_score, best_lang = 0, None
+            for gate, gl in by_gate.items():
+                if gate is None:
+                    if not latin_re.search(nt):
+                        continue
+                elif not gate_res[gate].search(nt):
+                    continue
+                for lang in gl:
+                    score = 0
+                    for tg, w in profiles[lang]:
+                        c = nt.count(tg)
+                        if c:
+                            score += c * w
+                    if score > best_score or (
+                        score == best_score and score > 0
+                        and (best_lang is None or lang < best_lang)
+                    ):
+                        best_score, best_lang = score, lang
+            if best_score > 0:
+                iso3_out.append(best_lang)
+                iso1_out.append(iso1_map[best_lang])
+            else:
+                iso3_out.append(default3)
+                iso1_out.append(default1)
+            best_out.append(best_score)
+        return pd.DataFrame(
+            {"iso6391": iso1_out, "iso6393": iso3_out,
+             "best_score": pd.array(best_out, dtype="int64")}
+        )
+
+    from pyspark.sql.functions import PandasUDFType
+
+    udf = pandas_udf(
+        _kernel, "iso6391 string, iso6393 string, best_score long",
+        PandasUDFType.SCALAR,
+    )
+    return udf(norm_text)
+
 
 # AFINN-style lexicon over this engine's synthetic-corpus vocabulary
 # (the reference ships AFINN-165 as a dependency; the scoring algebra —
@@ -778,6 +883,14 @@ def strip_possessive_col(c: Column) -> Column:
     )
 
 
+def capitalize_first_col(c: Column) -> Column:
+    """X4 capitalizeFirstLetter (helpers.js:77-79): upper-case the first
+    character, rest untouched."""
+    return F.concat(
+        F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 1_000_000)
+    )
+
+
 def clean_keyword_col(tok: Column,
                       stopwords: tuple[str, ...] = STOPWORDS_MINI) -> Column:
     """cleanKeyword: NULL when rejected, else the capitalized
@@ -786,9 +899,7 @@ def clean_keyword_col(tok: Column,
     norm = normalize_token_col(t)
     all_caps = (t == F.upper(t)) & t.rlike(r"\p{Lu}")
     stripped = strip_possessive_col(t)
-    cleaned = F.concat(
-        F.upper(F.substring(stripped, 1, 1)), F.substring(stripped, 2, 1_000_000)
-    )
+    cleaned = capitalize_first_col(stripped)
     ok = (
         t.rlike(r"\p{L}")
         & (F.length(norm) >= 2)

@@ -35,10 +35,23 @@ _ATOM_HREF_ALT = r'(?s)<link[^>]*rel="alternate"[^>]*href="([^"]*)"'
 _ATOM_HREF_ANY = r'(?s)<link[^>]*href="([^"]*)"'
 
 
+def feeds_from_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """S2 core rule on an already-loaded lines relation: trim, drop
+    blanks and `#` comments (fetch-curated-urls.js:22-30). Split out of
+    read_feeds_file so by-construction line sets (driver oracle) and
+    real files share one implementation."""
+    df = lines.select(
+        *[c for c in lines.columns if c != line_col],
+        F.trim(line_col).alias("feed_url"),
+    )
+    return df.filter(
+        (F.length("feed_url") > 0) & ~F.col("feed_url").startswith("#")
+    )
+
+
 def read_feeds_file(spark: SparkSession, path: str) -> DataFrame:
     """S2: newline feed URLs; trim, drop blanks and `#` comments."""
-    df = spark.read.text(path).select(F.trim("value").alias("feed_url"))
-    return df.filter((F.length("feed_url") > 0) & ~F.col("feed_url").startswith("#"))
+    return feeds_from_lines(spark.read.text(path))
 
 
 def _tag_text(block: Column, tag: str) -> Column:
@@ -128,17 +141,21 @@ def merge_csv_lines(spark: SparkSession, paths: list[str],
     Spark-first restatement of its in-memory Set.
 
     Returns (header, rows DataFrame with a single `row` column)."""
-    import pyspark.sql.functions as F
-
     if header is None:
         first = spark.read.text(paths[0]).limit(1).collect()
         if not first:
             raise ValueError("no header found in first input")
         header = first[0]["value"].strip()
-    rows = (
-        spark.read.text(paths)
-        .select(F.trim("value").alias("row"))
+    return header, merge_csv_rows(spark.read.text(paths), header)
+
+
+def merge_csv_rows(lines: DataFrame, header: str,
+                   line_col: str = "value") -> DataFrame:
+    """S11 core rule on an already-loaded lines relation: unique
+    trimmed non-empty rows, the header excluded wherever it reappears
+    (merge-csv.js:15-43)."""
+    return (
+        lines.select(F.trim(line_col).alias("row"))
         .filter((F.col("row") != "") & (F.col("row") != header))
         .dropDuplicates(["row"])
     )
-    return header, rows

@@ -112,21 +112,50 @@ def windowed_host_metrics(
     window_duration: str = "1 minute",
     watermark: str = "2 minutes",
     time_col: str = "event_time",
+    source_col: str | None = None,
+    phase_col: str | None = None,
 ) -> DataFrame:
     """T7/T8: per-host fetch counters over event-time windows with a
-    watermark bounding late-data state."""
+    watermark bounding late-data state.
+
+    source_col: when given, adds the A2 source-count split — n_amp /
+    n_dynamic totals per group (the reference logs amp vs dynamic fetch
+    totals per run, batch-sample-run.js:376-377).
+    phase_col: when given, adds the T8 progress/lineage surface —
+    `phases` is the ordered distinct set of phase tags seen in the
+    window (the reference emits phase-tagged parse:status progress
+    lines, index.js:136-158) and `last_event` the progress watermark
+    (latest event time). All additions are plain streaming-safe
+    aggregates — no extra shuffle beyond the existing window+host one."""
+    aggs = [
+        F.count("*").alias("scheduled"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+        F.avg("fetch_ms").alias("avg_ms"),
+    ]
+    extra = []
+    if source_col is not None:
+        aggs += [
+            F.sum(F.when(F.col(source_col) == "amp", 1).otherwise(0))
+            .alias("n_amp"),
+            F.sum(F.when(F.col(source_col) != "amp", 1).otherwise(0))
+            .alias("n_dynamic"),
+        ]
+        extra += ["n_amp", "n_dynamic"]
+    if phase_col is not None:
+        aggs += [
+            F.array_join(F.sort_array(F.collect_set(F.col(phase_col))), ",")
+            .alias("phases"),
+            F.max(F.col(time_col)).alias("last_event"),
+        ]
+        extra += ["phases", "last_event"]
     return (
         events.withWatermark(time_col, watermark)
         .groupBy(F.window(time_col, window_duration).alias("win"), "host")
-        .agg(
-            F.count("*").alias("scheduled"),
-            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
-            F.avg("fetch_ms").alias("avg_ms"),
-        )
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
-            "host", "scheduled", "ok", "err", "avg_ms",
+            "host", "scheduled", "ok", "err", "avg_ms", *extra,
         )
     )

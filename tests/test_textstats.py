@@ -236,3 +236,45 @@ def test_langid_gate_flags_identity(spark):
     for r in rows:
         assert r.p == r.g, r
         assert r.p == langs[r.doc_id], r  # each sample identifies itself
+
+
+def test_langid_batch_kernel_matches_column_algebra(spark):
+    """The Arrow-batched scale kernel (langid_batch_col) must be
+    BIT-EXACT with the declarative Column-algebra path — same winner,
+    same iso codes, same best_score — on every sample language, on
+    mixed-script text, and on texts that score zero everywhere. The
+    kernel exists because codegen aborts ('Code grows beyond 64 KB')
+    at 70x15 trigram terms and the projection runs interpreted; see
+    langid_batch_col's docstring."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from horseman_article_parser_spark.functions import textstats as TS
+
+    langs = sorted(TS.LANG_TRIGRAMS)
+    rows = [(i, entry.LANG_SAMPLES[lang]) for i, lang in enumerate(langs)]
+    n = len(rows)
+    rows += [
+        (n, ""),                                   # all-zero -> eng/en
+        (n + 1, "zzq xqj qqv"),                    # Latin chars, no hits
+        (n + 2, entry.LANG_SAMPLES["rus"] + " " +
+                entry.LANG_SAMPLES["fra"]),        # mixed script
+        (n + 3, entry.LANG_SAMPLES["cmn"] + " le la les et"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "txt"]).withColumn(
+        "_nt", TS.lang_normtext_col("txt")
+    )
+    scores = TS.trigram_lang_scores(F.col("_nt"), prenormalized=True)
+    ref_struct = TS.langid_from_scores(scores)
+    ref_best = F.greatest(*scores.values())
+    kern = TS.langid_batch_col(F.col("_nt"))
+    got = docs.select(
+        "doc_id",
+        ref_struct["iso6391"].alias("r1"), ref_struct["iso6393"].alias("r3"),
+        ref_best.alias("rb"),
+        kern["iso6391"].alias("k1"), kern["iso6393"].alias("k3"),
+        kern["best_score"].alias("kb"),
+    ).collect()
+    assert len(got) == n + 4
+    for r in got:
+        assert (r.k1, r.k3, r.kb) == (r.r1, r.r3, r.rb), r
