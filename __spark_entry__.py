@@ -818,12 +818,83 @@ LANG_SAMPLES: dict[str, str] = {
             "горадзе дзе людзі бачаць гэта штодня"),
     "kaz": ("жылдам қоңыр түлкі жалқау иттің үстінен секіреді және "
             "үлкен қалада адамдар мұны күн сайын көреді"),
+    # round-5 breadth additions
+    "dan": ("hvad har ikke københavn om aftenen det kolde vejr kom "
+            "hurtigt i efteråret med alder af ede noget"),
+    "hat": ("nou pral nan mache a pou nou achte manje ak dlo anpil "
+            "moun ap travay jodi a epi yo kap vann tout bagay"),
+    "jav": ("iki dina sing apik kanggo kabeh wong ing kutha iku lan "
+            "saben esuk karo kanca padha nggawa tumrap pasar"),
+    "nya": ("anthu ambiri amagwira ntchito mmunda ndipo amapita "
+            "kumsika ndi zakudya zikuluzikulu tsiku lililonse"),
+    "sna": ("vanhu vazhinji vanoshanda mumunda uye vanoenda kumusika "
+            "nezvokudya zvakawanda kwazvo mangwanani ose vari kumba"),
+    "ibo": ("ndi mmadu na-aru oru na ubi ma na-aga ahia taa maka "
+            "onye obula nwere ihe o ga-azu na ugbo anyi"),
+    "hau": ("mutane suna yawanci aiki a gona yau da safe wani lokaci "
+            "sukan tafi kuma zuwa kasuwan birni domin hatsi"),
+    "mlg": ("ny olona maro dia miasa any antsaha ary mandeha any "
+            "antsena izay misy sakafo amin ny maraina ireo rehetra"),
+    "kin": ("abantu benshi bakora mu murima kandi bajya ku isoko "
+            "uyu munsi kugura ibintu byinshi ejo hazaza"),
+    "lin": ("bato mingi basalaka na bilanga mpe bakendaka na zando "
+            "lelo oyo epai moto akozala awa boye na ndako"),
+    "wol": ("nit ñu bare dañuy liggéey ci tool te dem ca marse tey "
+            "am naa lool ñun ak sama xarit bi ci dëkk gi"),
+    "aka": ("nnipa pii yɛ adwuma wɔ afuom na wɔkɔ dwam nnɛ sɛ wɔn "
+            "nso bɛtɔ nneɛma wɔ hɔ mmre biara"),
+    "epo": ("homoj kaj virinoj laboras ĉiutage en kampoj kaj estas "
+            "feliĉaj ĉiuj plej ofte aŭ tre bonaj iĝas ili"),
+    "ltz": ("zu lëtzebuerg schwätze mir haut eis sprooch rëm gutt well "
+            "mir duerno an dat schéint duerf ginn awer och fir ze iessen"),
+    "fry": ("de minsken wurkje alle dagen op it lan en se geane nei "
+            "de merk dat hja wol fan har wurk hale"),
+    "gla": ("bheil sibh ag ionnsachadh a ghaidhlig a h uile seachdain "
+            "aig sgoil mhath agus bidh mi a bruidhinn gu tric"),
+    "bre": ("an dud a labour er parkoù hag a ya deus ar marchad "
+            "hiziv gant kement a draoù evit ar vro war zo"),
+    "oci": ("los omes trabalhan dins lo camp e van al mercat uèi "
+            "amb dels amics perque aquò es lo melhor òc plan òrt"),
+    "grn": ("umi tapicha ombaapo kokaguépe ha oho ñemuhãme ko árape "
+            "avei hikuái oguereko heta mbaé porã"),
+    "sun": ("jalma loba digawe di kebon jeung arindit ka pasar "
+            "ayeuna teu aya anu cicing keur saur henteu nyarita"),
+    "tuk": ("adamlar her gün ekin meýdanynda işleýärler we bazara "
+            "gidýärler olar köp zat satyn alýarlar ýok bolsa"),
+    "kir": ("адамдар талаада иштешет жана бүгүн базарга барышат "
+            "алар көп нерсе сатып алууда кыргыз менен болушат"),
+    "tgk": ("одамон дар саҳро кор мекунанд ва имрӯз ба бозор "
+            "мераванд онҳо бисёр чизҳо мехаранд ин аст корҳои рӯз"),
+    "mon": ("хүмүүс өнөөдөр талбайд ажиллаж байна дараа нь зах руу "
+            "явна тэд олон зүйл худалдаж авдаг өдөр бүр ийнхүү"),
+    "mar": ("लोक आज शेतात काम करतात आणि नंतर बाजारात जातात तेथील "
+            "लोकांचे हेतू चांगले असतात असे म्हणे जाते"),
+    "nep": ("मानिसहरू आज खेतमा काम गर्छन् र पछि बजार जान्छन् "
+            "उनीहरूले धेरै सामान किनेको हुन्छ भन्दै गर्छन्"),
+    "pus": ("خلک نن په پټيو کې کار کوي او بيا بازار ته ځي هغوی "
+            "ډېر شيان اخلي دا يو ښه کار دی چې شوي دي"),
+    "uig": ("كىشىلەر بۈگۈن ئېتىزدا ئىشلەيدۇ ئاندىن بازارغا بارىدۇ "
+            "ئۇلار نۇرغۇن نەرسە سېتىۋالىدۇ بۈگۈن ياخشى كۈن"),
+    "snd": ("ماڻهو اڄ ٻنيءَ ۾ ڪم ڪن ٿا ۽ پوءِ بازار وڃن ٿا هو "
+            "گهڻيون شيون وٺندا آهن اهو سندس جي لاءِ سٺو ڪم آهي"),
+    "ori": ("ଲୋକମାନେ ଆଜି କ୍ଷେତରେ କାମ କରୁଛନ୍ତି ଏବଂ ପରେ ବଜାରକୁ ଯିବେ "
+            "ସେମାନେ ବହୁତ ଜିନିଷ କିଣିବେ ଏହା ଭଲ କଥା ଅଟେ"),
+    "asm": ("মানুহে আজি পথাৰত কাম কৰে আৰু পিছত বজাৰলৈ যায় তেওঁলোকে "
+            "বহুত বস্তু কিনে ইয়াৰ পিছত ঘৰলৈ আহে"),
+    "div": ("މީހުން މިއަދު ދަނޑުގައި މަސައްކަތް ކުރޭ އަދި ފަހުން ބާޒާރަށް ދޭ "
+            "އެމީހުން ގިނަ ތަކެތި ގަނޭ މިއަދު ރަނގަޅު ދުވަހެކެވެ"),
+    "bod": ("མི་རྣམས་དེ་རིང་ཞིང་ཁར་ལས་ཀ་བྱེད་ཀྱིན་ཡོད་དེ་ནས་ཚོང་རར་"
+            "འགྲོ་གི་ཡོད་ཁོང་ཚོས་དངོས་པོ་མང་པོ་ཉོ་དང་"),
+    "tir": ("ሰባት ሎሚ ኣብ ግራት ይሰርሑ እሞ ድሕሪኡ ናብ ዕዳጋ ይኸዱ ንሳቶም "
+            "ብዙሕ ነገራት ይገዝኡ እቲ መዓልቲ ጽቡቕ እዩ ኩሎም"),
+    "yid": ("די מענטשן ארבעטן היינט אין פעלד און דערנאך גייען זיי צום "
+            "מארק וואס איז פון דאס דארף זיי קויפן אלץ"),
 }
 
 
 def q_langid(spark, sf_dir):
     """N1 trigram-profile language ID (franc model, language.js:26-46):
-    struct(iso6391, iso6393) over 52 languages / 24 scripts; exact
+    struct(iso6391, iso6393) over 105 languages / 27 scripts; exact
     arithmetic oracle (score algebra rendered to SQL) over
     by-construction per-language sample texts."""
     docs = _load(_prep(spark), sf_dir, "documents")

@@ -9,12 +9,13 @@ table's lossy rows should carry real JPEG bytes, not the QJPG stand-in.
 
 Scope (honestly stated):
 - ``encode_jpeg``: baseline sequential DCT, 8-bit, 3-component YCbCr,
-  4:4:4 (no chroma subsampling), single interleaved scan, JFIF APP0,
-  Annex-K-style quantization tables scaled by the IJG quality formula
-  (quality 40 == the reference's screenshot setting), Annex-K-style
-  Huffman tables. The tables are EMBEDDED IN THE STREAM (DQT/DHT), so
-  the output is self-describing standard JPEG for any conformant
-  decoder regardless of table choice.
+  4:4:4 or 4:2:0 (2x2 box-filtered chroma — the common web/screenshot
+  shape), single interleaved scan, JFIF APP0, Annex-K-style
+  quantization tables scaled by the IJG quality formula (quality 40 ==
+  the reference's screenshot setting), Annex-K-style Huffman tables.
+  The tables are EMBEDDED IN THE STREAM (DQT/DHT), so the output is
+  self-describing standard JPEG for any conformant decoder regardless
+  of table choice.
 - ``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit, grayscale or
   3-component, integer-ratio sampling factors 1-4 (4:4:4 / 4:2:2 /
   4:2:0 all work; each component's factor must divide the frame max —

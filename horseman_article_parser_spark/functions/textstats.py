@@ -177,6 +177,78 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
     "uzn": ("ang", "ar ", "dan", "di ", "har", "ng ", "ni ", "sha", "uni", " bu", " da", " ha", " it", " ji", " ka"),
     "yor": (" lo", " ni", " ti", "a n", "awọ", "i a", "i i", "kọl", "ri ", "ti ", "ọlọ", " aj", " al", " aw", " bu"),
     "zul": ("aph", "ayo", "esh", "hay", "lap", "nsu", "she", "yo ", " ab", " be", " ed", " el", " en", " es", " ev"),
+    # round-5 breadth additions (VERDICT r4 #7): 35 more languages,
+    # same 15-trigram franc-style profiles; gates below
+    "dan": ("ikk", "kke", "hva", "vad", "køb", "avn", "ejr", "kold", "ald",
+            "noge", "aft", "ften", " af", "af ", "ede"),
+    "hat": ("nou", "pra", "nan", "dlo", "mou", "anp", " ap", "ap ", "jod",
+            "ak ", "pou", "yo ", "fè ", "kap", "moun"),
+    "jav": ("iki", "iku", "ngg", "ggo", "won", "din", "pik", "beh", "kut",
+            "kab", "ngk", "sing", "karo", "sabe", "tumr"),
+    "nya": ("nth", "chit", "ndip", "amag", "mbi", "kum", "ntc", "gwir",
+            "mund", "sika", "zik", "onse", "kwa ", "chig", "anth"),
+    "sna": ("vano", "zhi", "shan", "umu", "uye", "vanh", "enda", "musi",
+            "noe", "kwaz", "zvi", "dza", "nhu", "sika", "vari"),
+    "ibo": ("ndi", "mma", " na", "aru", "oru", "ahi", "ubi", "taa",
+            "nke", "ugbo", "maka", "onye", "ihe", "gba", "anyi"),
+    "hau": ("yaw", "kas", "aik", "gon", "mut", "suka", "yana", "zuwa",
+            "kuma", "tafi", "suna", "wani", "daga", "hak", "sun "),
+    "mlg": ("ny ", "olo", "mia", "tsa", "ary", "dia", "eha", "aha",
+            "ndeh", "sena", "maro", "izay", "amin", "ona ", "ireo"),
+    "kin": ("ntu", "bak", "mur", "ajy", "oko", "uns", "nsh", "kand",
+            "aban", "rima", "isok", "uyu", "bens", "gura", "ejo"),
+    "lin": ("mpe", "zan", "lel", "kend", "bato", "ming", "bila", "ndak",
+            "moto", "epai", "oyo", "bis", "kozal", "awa", "boye"),
+    "wol": ("ñu ", "dañ", "lig", "gée", "too", "tey", "dem", "bare",
+            "nit ", "am ", "bi ", "gi ", "lool", "ñun", "naa"),
+    "aka": ("nni", "pii", "adw", "afu", "dwa", "wɔ ", "ɔkɔ", "nnɛ",
+            "yɛ ", "nso", "sɛ ", "bɛ ", "wɔn", "ɛne", "mmr"),
+    "epo": ("kaj", "aj ", "oj ", "iĝa", "ĉiu", "esta", "anto", "ulo",
+            "eco", "ajn", "ojn", "iĝo", "aŭ ", "plej", "tre "),
+    "ltz": ("ëtz", "wätz", "uerg", "uerf", "uern", "éin", "rëm", "haut",
+            "gutt", "sproo", "awer", "ginn", "iess", "well", "och "),
+    "fry": ("wur", "tsj", "sje", "eane", "minsk", "dage", "merk", "wurk",
+            "geane", "nei ", "fan ", "dat ", "wol ", "hja", "har "),
+    "gla": ("bhei", "achd", "gaid", "sgoi", "ionn", "eachd", "bruid",
+            "tric", "sibh", "bidh", "hinn", "uile", "aig ", "mhat", "adh "),
+    "bre": ("où ", "hag", "dud", "ziv", "marc", "labo", "park", "hizi",
+            "keme", "eus ", "gant", "evit", "war ", "zo ", "deus"),
+    "oci": ("lha", "èi ", "dins", "merca", "trabal", "uèi", "amb ",
+            "dels", "aqu", "òc ", "òt ", "ent ", "perq", "aul", "ort "),
+    "grn": ("ñe", "mba", "apo", "gué", "ára", "umi", "oho", "kok",
+            "tapi", "muh", "ãme", "ape", "guar", "avei", "hik"),
+    "sun": ("jeu", "eun", "awe", "keb", "aye", "dig", "jalm", "loba",
+            "indit", "teu ", "anu ", "keur", "henteu", "saur", "nya "),
+    "tuk": ("ýär", "leý", "meý", "işl", "gid", "adaml", "bazar", "ekin",
+            "gün", "ýok", "bol", "lery", "myz", "dyr", "ňiz"),
+    "kir": ("жан", "ыша", "үгү", "лаа", "ишт", "адамд", "базарг", "бары",
+            "менен", "болу", "кыр", "үн ", "ууда", "шат ", "тал"),
+    "tgk": ("меку", "саҳр", "ӯз ", "одамо", "бозор", "имр", "унанд",
+            "ҳо ", "аст ", "мера", "корҳ", "ванд", "рӯз", "ҳои", "дӯ"),
+    "mon": ("хүм", "үүс", "өнө", "байн", "аж ", "илла", "зах", "явн",
+            "өдөр", "талба", "дараа", "руу ", "нь ", "ын ", "ийн "),
+    "mar": ("आणि", "करत", "शेता", "लोक", "ंतर", "ाजार", "तात", "काम",
+            "नंतर", "आज ", "ील ", "ांच", "ात ", "हेत", "णे "),
+    "nep": ("हरू", "र्छ", "न् ", "छन्", "गर्", "बजार", "ान्", "मानि",
+            "खेतम", "पछि", "जान्", "ेको", "ले ", "हुन्", "्दै"),
+    "pus": ("په ", "کې ", "کوي", "ځي", "خلک", "پټي", "نن ", "بيا",
+            "ته ", "کار ", "يو ", "دی ", "ښه ", "شوي", "ونه"),
+    "uig": ("لەر", "دۇ ", "ىش", "بۈگ", "غا ", "ەيد", "كىشى", "بازارغ",
+            "ئاند", "گۈن", "دىن ", "نى ", "دا ", "ىدۇ", "ئېت"),
+    "snd": ("ڪن ", "ٿا ", "ماڻ", "اڄ ", "وڃ", "ءِ ", "هو ", "جي ",
+            "کي ", "سند", "آهي", "ٻني", "ڪم ", "ندا", "يون"),
+    "ori": ("ରେ ", "ମାନ", "ନ୍ତ", "ବଂ ", "କାମ", "ଛନ୍", "କୁ ", "ଆଜି",
+            "ଲୋକ", "କ୍ଷେ", "ପରେ", "ଯିବ", "କର", "ତି ", "େବେ"),
+    "asm": ("ৰত ", "ৰে ", "ৰু ", "লৈ ", "নুহ", "পিছ", "আজি", "মানুহ",
+            "কৰে", "বজাৰ", "যায়", "আৰু", "থাৰ", "হে ", "ছত "),
+    "div": ("ން ", "އަ", "ގައ", "ކުރ", "މަސ", "ދު ", "ށް ", "ފަހ",
+            "މީހ", "ބާޒ", "އަދ", "ދަނ", "ހުން", "ރޭ ", "ދޭ "),
+    "bod": ("རྣམ", "ཞིང", "ལས ", "བྱེ", "ཀྱི", "ཡོད", "དེ ", "རིང",
+            "མི ", "ཁར ", "ནས ", "དང ", "གི ", "པོ ", "ཚོ"),
+    "tir": ("ኣብ ", "ይሰር", "ናብ ", "ዕዳጋ", "ሑ ", "ድሕሪ", "እሞ ", "ኸዱ",
+            "ሎሚ ", "ግራት", "ሰባት", "ጋ ይ", "ኩሎም", "እቲ ", "ርሑ"),
+    "yid": ("ען ", "טשן", "יינט", "דערנ", "צום ", "זיי ", "מענט", "ארבע",
+            "נאך ", "גייע", "עלד ", "דאס ", "וואס", "איז ", "פון "),
 }
 
 # the reference's ISO-639-3 → ISO-639-1 table (language.js:6-13), the
@@ -198,6 +270,14 @@ ISO3_TO_1: dict[str, str] = {
     "glg": "gl", "hrv": "hr", "kaz": "kk", "mkd": "mk", "mlt": "mt",
     "slk": "sk", "slv": "sl", "som": "so", "sqi": "sq", "srp": "sr",
     "uzn": "uz", "yor": "yo", "zul": "zu",
+    # round-5 additions
+    "dan": "da", "hat": "ht", "jav": "jv", "nya": "ny", "sna": "sn",
+    "ibo": "ig", "hau": "ha", "mlg": "mg", "kin": "rw", "lin": "ln",
+    "wol": "wo", "aka": "ak", "epo": "eo", "ltz": "lb", "fry": "fy",
+    "gla": "gd", "bre": "br", "oci": "oc", "grn": "gn", "sun": "su",
+    "tuk": "tk", "kir": "ky", "tgk": "tg", "mon": "mn", "mar": "mr",
+    "nep": "ne", "pus": "ps", "uig": "ug", "snd": "sd", "ori": "or",
+    "asm": "as", "div": "dv", "bod": "bo", "tir": "ti", "yid": "yi",
 }
 LANG_DEFAULT_ISO3 = "eng"
 
@@ -224,6 +304,15 @@ LANG_SCRIPT_GATES: dict[str, str] = {
     "urd": r"[؀-ۿ]",
     "srp": r"[Ѐ-ӿ]", "mkd": r"[Ѐ-ӿ]",
     "bel": r"[Ѐ-ӿ]", "kaz": r"[Ѐ-ӿ]",
+    # round-5 additions: Cyrillic / Devanagari / Arabic-script reuse the
+    # existing ranges; Odia, Thaana, Tibetan get their own blocks;
+    # Assamese shares the Bengali block, Tigrinya the Ethiopic one,
+    # Yiddish the Hebrew one
+    "kir": r"[Ѐ-ӿ]", "tgk": r"[Ѐ-ӿ]", "mon": r"[Ѐ-ӿ]",
+    "mar": r"[ऀ-ॿ]", "nep": r"[ऀ-ॿ]",
+    "pus": r"[؀-ۿ]", "uig": r"[؀-ۿ]", "snd": r"[؀-ۿ]",
+    "ori": r"[଀-୿]", "asm": r"[ঀ-৿]", "div": r"[ހ-޿]",
+    "bod": r"[ༀ-࿿]", "tir": r"[ሀ-፿]", "yid": r"[֐-׿]",
 }
 
 # Latin-script gate for every language NOT in LANG_SCRIPT_GATES: all 25

@@ -40,9 +40,10 @@ def test_lossy_deterministic():
 def test_jpeg_roundtrip_real_bytes(idx, sub):
     """Round 4: SOI bytes decode for REAL via codecs/jpeg.py. At q90 the
     4:4:4 round-trip must clear the payload-table PSNR bar on every
-    synthetic pattern; 4:2:0 exercises the decoder's subsampled-MCU path
-    (box-filtered chroma costs PSNR on chroma-noise patterns, so only
-    structural assertions there)."""
+    synthetic pattern; 4:2:0 must clear it on the smooth-gradient
+    patterns (the shape the datagen table actually emits as 4:2:0,
+    r5) — box-filtered chroma on saturated band/noise patterns costs
+    PSNR, so those stay structural-only."""
     from horseman_article_parser_spark.codecs.jpeg import encode_jpeg
 
     px, w, h = synth_pixels(idx)
@@ -50,7 +51,7 @@ def test_jpeg_roundtrip_real_bytes(idx, sub):
     assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
     out = decode_image(data)  # dispatches through the SOI branch
     assert out.shape == (h, w, 3)
-    if sub == "4:4:4":
+    if sub == "4:4:4" or idx % 3 == 0:
         assert psnr(px, out) >= 40.0
     # perceptual hash must not move beyond the near-dup join radius
     hamming = bin((phash64(px) ^ phash64(out)) & ((1 << 64) - 1)).count("1")

@@ -110,20 +110,24 @@ def test_reference_quality_rows_present(spark):
     from horseman_article_parser_spark.codecs.jpeg import encode_jpeg
     from horseman_article_parser_spark.datagen.images import (
         jpeg_quality_for,
+        jpeg_subsampling_for,
         synth_pixels,
     )
 
     rows = build_images_table(spark, 16).collect()
-    n_q40 = 0
+    n_q40 = n_420 = 0
     for r in rows:
         if r.fmt != "jpeg":
             continue
         idx = int(r.image_id.split("-")[1])
         px, _, _ = synth_pixels(idx)
         q = jpeg_quality_for(idx)
-        assert bytes(r.bytes) == encode_jpeg(px, q)
+        sub = jpeg_subsampling_for(idx)
+        assert bytes(r.bytes) == encode_jpeg(px, q, subsampling=sub)
         n_q40 += q == 40
+        n_420 += sub == "4:2:0"
     assert n_q40 >= 1  # id 3 (640x480 smooth) is inside the first 16
+    assert n_420 >= 1  # r5: smooth-gradient jpeg rows are 4:2:0
 
 
 def test_image_features_survives_truncated_payload(spark):
