@@ -193,15 +193,24 @@ def main():
     # Hard cost pins (VERDICT r4 #2): breadth growth must not ship a
     # wall-time regression. best-of-2 min is steal-robust; a genuine
     # regression fails the bench loudly instead of being footnoted.
+    # The pin is calibrated for the recorded sf0.1 protocol — scale
+    # runs (sf1 evidence) are exempt, their check is linearity.
     LANGID_PIN_SEC = 5.8
-    if qtimes.get("langid", 0) > LANGID_PIN_SEC:
+    if "sf0.1" in SF_DIR and qtimes.get("langid", 0) > LANGID_PIN_SEC:
         raise AssertionError(
             f"langid cost pin violated: best-of-2 {qtimes['langid']}s "
             f"> {LANGID_PIN_SEC}s — reduce per-row scoring cost before "
             "growing language breadth"
         )
 
-    crawl = bench_crawl(spark)
+    # auxiliary scale runs (e.g. the sf1 evidence run) time the query
+    # suite only; the crawl section is sf-independent and covered by
+    # the primary sf0.1 run
+    if os.environ.get("SPARK_GRAFT_SKIP_CRAWL") == "1":
+        crawl = {"urls_per_sec": None, "steady_urls_per_sec": None,
+                 "skipped": True}
+    else:
+        crawl = bench_crawl(spark)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
