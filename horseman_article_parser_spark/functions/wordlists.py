@@ -452,6 +452,7 @@ retire retreat return reveal reverse review revise reward risk roam
 roar roast rock roll rotate row rub ruin rule rush sail sample save
 scan scare scatter scold score scratch scream screen seal search
 season seek seem select sentence serve settle shape share shave shift
+ship
 shout shrug sigh sign signal simplify sip ski skip slam slip slow
 smell smile smooth sneeze sniff snow soak solve sort sound spare spark
 specify spell spill spoil sponsor spray sprint squeeze stack stain
@@ -503,7 +504,7 @@ localise magnify manufacture marginalise materialise maximise mediate
 meditate mentor  mobilise moderate modernise moisten mould
 mumble mutter mystify narrow nationalise naturalise neutralise
 normalise nurture obscure obsess optimise orbit orchestrate oust
-outpace outperform outrage outweigh overcome overhaul oversee
+outpace outperform outrage outweigh overcome overhaul
 overshadow overturn overwhelm oxidise paralyse paraphrase pamper
 patrol penetrate perceive perfect personalise personify petition
 pinpoint pioneer plummet plunge polarise ponder popularise
@@ -699,7 +700,8 @@ buy buys buying fight fights fighting teach teaches teaching
 catch catches catching
 ride rides riding rise rises rising write writes writing drive drives
 driving strike strikes striking struck arisen arose
-fly flies flying flew lie lies lying die dies dying dyed
+fly flies flying flew lie lies lying die dies dying died dyed
+dye dyes dyeing oversee oversees overseeing oversaw overseen
 sit sits sitting set sets setting cut cuts cutting put puts putting
 hit hits hitting let lets letting shut shuts shutting split splits
 splitting quit quits quitting spit spits spitting bid bids bidding
@@ -797,16 +799,19 @@ _VOWELS = "aeiou"
 
 
 def _en_doubles_final(stem: str) -> bool:
-    """CVC doubling: single vowel group + final single consonant (not
-    w/x/y). en-GB additionally doubles a final 'l' after ONE vowel
-    letter regardless of stress (travel -> travelled)."""
+    """CVC doubling: a SINGLE vowel letter + final single consonant
+    (not w/x/y). A vowel digraph before the final consonant never
+    doubles (clean -> cleaned, look -> looked, rain -> rained). en-GB
+    additionally doubles a final 'l' after one vowel letter regardless
+    of stress (travel -> travelled)."""
     if len(stem) < 2 or stem[-1] in _VOWELS + "wxy":
         return False
     if stem[-2] not in _VOWELS:
         return False
+    if len(stem) >= 3 and stem[-3] in _VOWELS:
+        return False  # vowel digraph (ea/oo/ai/...) — no doubling
     if stem.endswith("l"):
-        # en-GB l-doubling: previous char is a single vowel letter
-        return len(stem) < 3 or stem[-3] not in _VOWELS
+        return True  # en-GB l-doubling
     # otherwise only single-vowel-group (monosyllabic) stems double
     groups = len(re.findall(f"[{_VOWELS}]+", stem))
     return groups == 1
@@ -814,7 +819,10 @@ def _en_doubles_final(stem: str) -> bool:
 
 def _en_verb_forms(stem: str) -> list[str]:
     forms = [stem, _en_plural(stem)]  # 3sg shares the plural rule
-    if stem.endswith("e") and not stem.endswith(("ee", "oe", "ye")):
+    if stem.endswith(("ee", "oe", "ye")):
+        # agree -> agreed/agreeing: past takes +d, gerund keeps the e
+        forms += [stem + "d", stem + "ing"]
+    elif stem.endswith("e"):
         forms += [stem + "d", stem[:-1] + "ing"]
     elif len(stem) > 1 and stem.endswith("y") and stem[-2] not in _VOWELS:
         forms += [stem[:-1] + "ied", stem + "ing"]
@@ -875,7 +883,7 @@ excus discut racont termin commenc
 """.split()
 FR_VERB_IR_STEMS = """
 fin chois grand réuss réfléch nourr pun obé roug vieill établ rempl
-guér affaibl élarg avert définit invest
+guér affaibl élarg avert défin invest
 """.split()
 FR_NOUN_PLUS_S = """
 ami amie maison porte table chaise livre page mot lettre nombre nom
@@ -980,7 +988,12 @@ def _expand_es() -> set[str]:
         out.update(stem + e for e in ends)
     for n in ES_NOUN_STEMS:
         out.add(n)
-        out.add(n + "s" if n[-1] in "aeiouáéíóú" else n + "es")
+        if n[-1] in "aeiouáéíóú":
+            out.add(n + "s")
+        elif n.endswith("ón"):
+            out.add(n[:-2] + "ones")  # corazón -> corazones
+        else:
+            out.add(n + "es")
     for a in ES_ADJ_O_STEMS:
         if a.endswith("o"):
             base = a[:-1]

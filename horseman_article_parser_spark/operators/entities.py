@@ -780,6 +780,17 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
             and n not in PLACE_PREPOSITIONS
         )
 
+    def _lower_tail_tok(idx: int) -> bool:
+        """An ORG_TAIL_WORDS continuation must itself be a lowercase,
+        unconsumed surface token — a capitalized 'Robotics' belongs to
+        the cased grammar, and a consumed index must not classify
+        twice (r5 review)."""
+        return (
+            idx < len(raw_tokens) and idx not in consumed
+            and raw_tokens[idx] == raw_tokens[idx].lower()
+            and lower_norm[idx] in ORG_TAIL_WORDS
+        )
+
     # org descriptor ("the startup deepgram") or org tail word
     # ("acme robotics"): unknown-token spans become orgs
     for i, n in enumerate(lower_norm):
@@ -787,8 +798,11 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
             span = [i + 1]
             while (
                 span[-1] + 1 < len(raw_tokens) and len(span) < 3
+                # a tail word ENDS the org name ("acme robotics shipped"
+                # must not absorb the verb after the tail)
+                and lower_norm[span[-1]] not in ORG_TAIL_WORDS
                 and (_unknown_tok(span[-1] + 1)
-                     or lower_norm[span[-1] + 1] in ORG_TAIL_WORDS)
+                     or _lower_tail_tok(span[-1] + 1))
             ):
                 span.append(span[-1] + 1)
             name = " ".join(lower_norm[j] for j in span)
@@ -796,7 +810,8 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
             add(orgs, _title(name), seen_o)
             add(topics, _title(name), seen_t)
         elif (
-            n in ORG_TAIL_WORDS and i > 0 and _unknown_tok(i - 1)
+            n in ORG_TAIL_WORDS and i > 0 and i not in consumed
+            and _unknown_tok(i - 1)
             and raw_tokens[i] == raw_tokens[i].lower()
         ):
             name = f"{lower_norm[i - 1]} {n}"

@@ -233,27 +233,21 @@ def misspellings_multilang(
     language has none. Output adds a `lang` column (the effective
     dictionary language per doc).
 
-    Scale shape: langid is pure Column algebra computed in the SAME
-    scan; the per-doc language rides through the token explode as a
-    carried column (never a join against a table of all docs); the
+    Scale shape: langid runs as the Arrow-batched kernel
+    (langid_batch_col — at the 105-language profile table the
+    declarative form overflows janino's 64 KB codegen limit and
+    evaluates interpreted, the r5 langid lesson) in the SAME scan; the
+    per-doc language rides through the token explode as a carried
+    column (never a join against a table of all docs); the
     availability table and the dictionary broadcast; the anti-join keys
     on (lang, word) — one broadcast anti-join, zero extra shuffles vs
     the single-dictionary path."""
-    from ..functions.textstats import (
-        lang_normtext_col,
-        langid_struct_col,
-        script_gate_flags_col,
-    )
+    from ..functions.textstats import lang_normtext_col, langid_batch_col
 
     nt = lang_normtext_col(F.col(text_col))
     docs_l = docs.withColumn("_nt", nt).withColumn(
-        "_gf", script_gate_flags_col(F.col("_nt"))
-    ).withColumn(
-        "_lang",
-        langid_struct_col(
-            F.col("_nt"), prenormalized=True, gate_flags=F.col("_gf")
-        )["iso6391"],
-    ).drop("_nt", "_gf")
+        "_lang", langid_batch_col(F.col("_nt"))["iso6391"]
+    ).drop("_nt")
     avail = dictionaries.select(F.col("lang").alias("_lang")).distinct().withColumn(
         "_has", F.lit(True)
     )

@@ -264,3 +264,16 @@ def test_ner_recall_adversarial_lowercase_corpus():
     assert found == 19 and total == 21, (
         f"NER recall moved ({found}/{total}) - update the recall pin"
     )
+
+
+def test_org_span_does_not_absorb_capitalized_tokens():
+    """r5 review: the lowercase org-descriptor span must stop at a
+    CAPITALIZED token — 'the startup vexly Robotics' emits org 'Vexly'
+    only; 'Robotics' belongs to the cased grammar and must not be
+    double-classified into the span. Fully-lowercase tails still
+    extend the span ('the startup acme robotics' -> 'Acme Robotics')."""
+    r = extract_entities("the startup vexly Robotics shipped units today.")
+    assert "Vexly" in r["orgs"]
+    assert all("Robotics" not in o for o in r["orgs"])
+    r2 = extract_entities("the startup acme robotics shipped units today.")
+    assert "Acme Robotics" in r2["orgs"]
