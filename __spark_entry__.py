@@ -889,12 +889,55 @@ LANG_SAMPLES: dict[str, str] = {
             "ብዙሕ ነገራት ይገዝኡ እቲ መዓልቲ ጽቡቕ እዩ ኩሎም"),
     "yid": ("די מענטשן ארבעטן היינט אין פעלד און דערנאך גייען זיי צום "
             "מארק וואס איז פון דאס דארף זיי קויפן אלץ"),
+    # round-5 tranche A
+    "bho": ("लोग आज खेत में काम करत बा लोग बजार जात बाटे आ ओकरा बाद "
+            "घरे जात रहल बा सब ठीक होखे भइल बा"),
+    "mai": ("लोक आइ खेत मे काम करैत अछि आ बाद मे बजार जाइ छथि हुनक "
+            "सभ किछु कीनैत छल एहि सँ नीक थिक"),
+    "awa": ("लोगन आज खेत मा काम करत अहै अउर फिर बजार का जात हवै उई "
+            "बहुत समान लेत रहा ई नीक बात होय"),
+    "mag": ("लोग आज खेत में काम करऽ हई आउ बाद में बजार गे जा हथि "
+            "ओकर आ हमर घर के काम ठीक हई"),
+    "hne": ("लोगन मन आज खेत मा काम करथे हवय अउ बाद मा बजार जाथे "
+            "होथे ओमन बर संग ला बने हवय"),
+    "san": ("जनाः अद्य क्षेत्रेषु कार्यं कुर्वन्ति ततः च आपणं गच्छन्ति ते बहूनि "
+            "वस्तूनि क्रीणन्ति एतत् शुभम् अस्ति भवति एव"),
+    "gom": ("लोक आज शेतांत काम करप करतात आनी मागीर बाजारांत गेल्या ते "
+            "म्हणटात हें काम बरें आसा तांचो दीस बरो आसा"),
+    "ckb": ("خەڵکەکان ئەمڕۆ لە کێڵگەدا کار دەکەن و پاشان دەچنە "
+            "بازاڕەکە ئەوان شتێک زۆر دەکڕن لە ناو شارەکە کردیان"),
+    "skr": ("لوک اڄ کھیتاں وچ کم کریندے ہن تے فیر بازار ویندے ہن او "
+            "ٻئی شیاں گھندے ہن ہک ݙے نال ڳالھ کوں چنگا"),
+    "kas": ("لوکھ اَز کھیتَن منٛز کٲم کران چھُ تہٕ پتہٕ بازارَس گژھان "
+            "تِم ہٕند اکھ ۄاریاہ چیز چھُ اسان"),
+    "pnb": ("لوک اج کھیتاں وچ کم کردے ہن اتے فیر بازار نوں جاندے ہن "
+            "اوہ بہت شیواں لیندے ہن ایہ دن دا کم وی چنگا کیتا توں لئی"),
+    "arz": ("الناس اللي بتشتغل في الغيط النهارده بتروح السوق علشان "
+            "تشتري حاجات كتير ده مش كده بس دي حاجة بتاع الناس فيه عايز"),
+    "tat": ("кешеләр бүген кырда эшлиләр һәм аннары базарга баралар "
+            "алар күп әйбер алалар бу шәһәрдә кеше өчен яхшы көн була белән бер"),
+    "bak": ("кешеләр бөгөн яланда эш итәләр һәм унан һуң баҙарға "
+            "баралар улар күп нәмә алалар беҙ ҡалала кеше өсөн яҡшы көн менән ҡайтабыҙ"),
+    "chv": ("ҫынсем паян уйра ӗҫлеҫҫӗ тата кайран пасара каяҫҫӗ вӑл "
+            "пӗр ҫын нумай япала илнӗ чӑваш ҫӗр ӗҫ пулать та аш"),
+    "sah": ("дьон бүгүн хонууга үлэлииллэр уонна онтон киниэхэ "
+            "баһаарга бараллар кини элбэх малы ылар саха биир үчүгэй күн буолар баар эрэ"),
+    "che": ("наха тахана аренца болх бо цхьа стаг дукха хӏум оьцу шен "
+            "базар дӏа боьлху уьш къа хила ца бен ду ӏад"),
+    "oss": ("адӕм абон быдыры кусынц ӕмӕ уый фӕстӕ базармӕ цӕуынц "
+            "уыдон бирӕ дзаумӕттӕ ӕлхӕнынц цы хъӕуы уый дӕр иу ӕй кӕнынц сты дзы уыд"),
+    "dzo": ("མི་ཚུ་ད་རིས་ཞིང་ནང་ལཱ་འབད་དེས་ཨིན་དེ་ལས་ཁྲོམ་ལུ་འགྱོ་དོ་"
+            "ཁོང་གིས་ཅ་ལཱ་མང་ཤོས་ཉོ་དང་གི་ཨིན"),
+    "iku": ("ᐃᓄᐃᑦ ᐅᓪᓗᒥ ᓄᓇᒥ ᐱᓕᕆᔪᑦ ᐊᒻᒪ ᑕᐃᒪ ᓂᐅᕕᕐᕕᒧᑦ ᐊᐅᓪᓚᖅᓯᒪᔪᖅ "
+            "ᐱᖁᑎᓂᒃ ᐊᒥᓱᓂᒃ ᓂᐅᕕᖅᑐᖅ ᐅᓪᓗᒥᒃ ᐱᐅᔪᒥᒃ ᖓ"),
+    "yue": ("啲人今日喺田度做嘢佢哋跟住去街市買咗好多嘢佢哋話今日係好好嘅一日"
+            "大家都唔使擔心冇問題咁鍾意睇嚟乜"),
 }
 
 
 def q_langid(spark, sf_dir):
     """N1 trigram-profile language ID (franc model, language.js:26-46):
-    struct(iso6391, iso6393) over 105 languages / 27 scripts; exact
+    struct(iso6391, iso6393) over 126 languages / 28 scripts; exact
     arithmetic oracle (score algebra rendered to SQL) over
     by-construction per-language sample texts."""
     docs = _load(_prep(spark), sf_dir, "documents")

@@ -249,6 +249,60 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
             "ሎሚ ", "ግራት", "ሰባት", "ጋ ይ", "ኩሎም", "እቲ ", "ርሑ"),
     "yid": ("ען ", "טשן", "יינט", "דערנ", "צום ", "זיי ", "מענט", "ארבע",
             "נאך ", "גייע", "עלד ", "דאס ", "וואס", "איז ", "פון "),
+    # ---- round-5 breadth tranche A: non-Latin scripts -------------
+    # Devanagari cluster — Bihari/Konkani/Sanskrit distinguish by
+    # copula/case endings ("बा" bho, "अछि" mai, "हवै" awa, "हई" mag,
+    # "हवय" hne, "अस्ति" san, "आसा" gom) vs hin "है" / mar "आहे" /
+    # nep "छन्".
+    "bho": ("रहल", "हल ", " बा ", "बा ", "बाटे", "ाटे", "होखे", "ोखे",
+            "भइल", "इल ", " आ ", "लोग", "खे ", "जात", "करत"),
+    "mai": ("अछि", "छि ", "छथि", "सँ ", "केँ ", "एहि", "ओहि", "हुनक",
+            "मे ", "नहि", "जाइ", "छल ", "थिक", "िनक", "कए "),
+    "awa": ("अउर", "उर ", "हवै", "वै ", "अहै", "हइ ", "मा ", "कै ",
+            "लोगन", "गन ", "होय", "रहा", "जात", "करत", "का "),
+    "mag": ("हई ", " हई", "हथि", "थिन", "ओकर", "तोहर", "हमर", "करऽ",
+            "ऽ ", "आउ ", "कर ", "गे ", "लोग", "खेत", "बजार"),
+    "hne": ("हवय", "वय ", " अउ ", "अउ ", "होथे", "ोथे", "मन ", "बर ",
+            "संग", "ला ", "लोगन", "करथ", "रथे", "मा ", "खे "),
+    "san": ("न्ति", "स्य", "ेषु", "ानि", "म् ", "ः ", "ेन ", "त्वा",
+            "अस्ति", "भवति", "एव ", "अपि", " च ", "न्ते", "ाणाम"),
+    "gom": ("आनी", "नी ", "आसा", "सा ", "म्हण", "्हण", "हें ", "तें ",
+            "ांत ", "ाचो", "चो ", "ांक", "करप", "ेल्या", "गेल"),
+    # Perso-Arabic cluster — Sorani ە/ێ + ەکان plural, Saraiki کوں
+    # dative + ݙ/ڳ implosives, Kashmiri ٕ/ٛ vowel signs, Western
+    # Punjabi نوں dative + اتے, Egyptian Arabic اللي/ده/مش.
+    "ckb": ("ەکان", "کان ", "لە ", " لە", "بە ", "کە ", "دا ", "ەوە",
+            "ێک ", "ئەو", "دەک", "ەکە", "وان", "ناو", "کرد"),
+    "skr": ("کوں ", "وں ", "ݙے", "ڄد", "ڳال", "ٻئ", "وچ ", "تے ",
+            "دے ", "ہک ", "ہن ", "نال", "یندے", "لوک", "اں "),
+    "kas": ("چھُ", "ھُ ", "تہٕ", "ہٕ ", "منٛز", "نٛز", "اکھ", "ہٕند",
+            "ۄ", "ٲ", "کران", "گژھ", "اسان", "تِم", "ِ "),
+    "pnb": ("اتے ", "نوں ", "ایہ ", "اوہ ", "وچ ", "دے ", "دا ",
+            "ہن ", "توں ", "کیتا", "جاند", "وی ", "لئی", "فیر", "کم "),
+    "arz": ("اللي", "للي ", " ده ", "ده ", "مش ", " مش", "علشان",
+            "شان ", "كده ", "بتاع", "عايز", "فيه ", "دي ", "بس ", "حاج"),
+    # Cyrillic cluster — Tatar һәм/өчen vs Bashkir менән/өсөн/ҡ-ҙ,
+    # Chuvash ă/ĕ/ҫ, Yakut уонна/дьон/һ, Chechen цхьа/ӏ, Ossetic æ.
+    "tat": ("һәм ", "әм ", "белән", "лән ", "өчен", "чен ", "кеше",
+            "шәһәр", "лар ", "ләр ", "бер ", "бүген", "яхшы", "була", "да "),
+    "bak": ("менән", "нән ", "өсөн", "сөн ", "беҙ ", "ҡала", "баҙар",
+            "ҙа ", "ыҙ ", "һәм ", "һеҙ", "бөгөн", "эш ", "ине", "ҡай"),
+    "chv": ("тата ", "ата ", "пӗр", "ӗр ", "вӑл ", "ӑл ", "ҫын",
+            "сем ", "пул", "нӑ ", "ҫӗ ", "чӑв", "аш ", "ӗҫ ", "та "),
+    "sah": ("уонна", "онна", "буол", "дьон", "ьон ", "биир", "кини",
+            "саха", "ҕа ", "ҥ ", "лар ", "ыыр", "үчүгэй", "эрэ", "баар"),
+    "che": ("цхьа", "хьа ", " ду ", "ду ", "дӏа", "ӏад", "наха", "къа",
+            "болх", "хил", "шен", "ца ", "бен ", "дукха", "хӏум"),
+    "oss": ("ӕмӕ ", "мӕ ", "ӕр ", "уый", "ый ", "цы ", "дӕр", "иу ",
+            "кӕн", "ӕй ", "дзы", "хъӕ", "уыд", "сты ", "адӕм"),
+    # Dzongkha (Tibetan script, ཨིན/ལུ/ཚུ vs bod ཡིན/ལ/ཚོ), Inuktitut
+    # (Canadian syllabics), Cantonese (嘅/係/唔 vs cmn 的/是/不).
+    "dzo": ("ཨིན", "ིན ", "ལུ ", " ལུ", "འབད", "བད ", "ཚུ ", "ནང ",
+            "མི ", "དང ", "གི ", "འགྱོ", "ཉོ ", "ལཱ ", "ཅ ལ"),
+    "iku": ("ᐊᒻᒪ", "ᒻᒪ ", "ᓪᓗ", "ᒥᒃ ", "ᒧᑦ ", "ᐃᓄ", "ᓄᐃ", "ᐅᑦ ",
+            "ᑦ ", "ᓂᒃ ", "ᖅ ", "ᓯᒪ", "ᔪᖅ", "ᑐᖅ", "ᖓ"),
+    "yue": ("嘅", "係", "唔", "咗", "喺", "啲", "佢", "乜", "冇", "睇",
+            "嚟", "咁", "哋", "嘢", "鍾意"),
 }
 
 # the reference's ISO-639-3 → ISO-639-1 table (language.js:6-13), the
@@ -278,6 +332,16 @@ ISO3_TO_1: dict[str, str] = {
     "tuk": "tk", "kir": "ky", "tgk": "tg", "mon": "mn", "mar": "mr",
     "nep": "ne", "pus": "ps", "uig": "ug", "snd": "sd", "ori": "or",
     "asm": "as", "div": "dv", "bod": "bo", "tir": "ti", "yid": "yi",
+    # round-5 tranche A: real ISO-639-1 codes where they exist;
+    # macrolanguage members take the macro's 2-letter code (the same
+    # convention as cmn→zh / arb→ar / swh→sw above); codes with neither
+    # fall back to "en" exactly like the reference lookup miss
+    # (language.js:44 `iso3to1(iso6393) || 'en'`)
+    "san": "sa", "kas": "ks", "tat": "tt", "bak": "ba", "chv": "cv",
+    "che": "ce", "oss": "os", "dzo": "dz", "iku": "iu",
+    "yue": "zh", "ckb": "ku", "arz": "ar", "pnb": "pa",
+    "bho": "en", "mai": "en", "awa": "en", "mag": "en", "hne": "en",
+    "gom": "en", "skr": "en", "sah": "en",
 }
 LANG_DEFAULT_ISO3 = "eng"
 
@@ -313,6 +377,18 @@ LANG_SCRIPT_GATES: dict[str, str] = {
     "pus": r"[؀-ۿ]", "uig": r"[؀-ۿ]", "snd": r"[؀-ۿ]",
     "ori": r"[଀-୿]", "asm": r"[ঀ-৿]", "div": r"[ހ-޿]",
     "bod": r"[ༀ-࿿]", "tir": r"[ሀ-፿]", "yid": r"[֐-׿]",
+    # round-5 tranche A: Devanagari cluster shares the hin range,
+    # Perso-Arabic the arb range, Cyrillic the rus range; Dzongkha the
+    # Tibetan block, Cantonese the Han block; Inuktitut gets the
+    # Canadian-syllabics block
+    "bho": r"[ऀ-ॿ]", "mai": r"[ऀ-ॿ]", "awa": r"[ऀ-ॿ]",
+    "mag": r"[ऀ-ॿ]", "hne": r"[ऀ-ॿ]", "san": r"[ऀ-ॿ]",
+    "gom": r"[ऀ-ॿ]",
+    "ckb": r"[؀-ۿ]", "skr": r"[؀-ۿ]", "kas": r"[؀-ۿ]",
+    "pnb": r"[؀-ۿ]", "arz": r"[؀-ۿ]",
+    "tat": r"[Ѐ-ӿ]", "bak": r"[Ѐ-ӿ]", "chv": r"[Ѐ-ӿ]",
+    "sah": r"[Ѐ-ӿ]", "che": r"[Ѐ-ӿ]", "oss": r"[Ѐ-ӿ]",
+    "dzo": r"[ༀ-࿿]", "yue": r"[一-鿿]", "iku": r"[᐀-ᙿ]",
 }
 
 # Latin-script gate for every language NOT in LANG_SCRIPT_GATES: all 25
