@@ -932,12 +932,200 @@ LANG_SAMPLES: dict[str, str] = {
             "ᐱᖁᑎᓂᒃ ᐊᒥᓱᓂᒃ ᓂᐅᕕᖅᑐᖅ ᐅᓪᓗᒥᒃ ᐱᐅᔪᒥᒃ ᖓ"),
     "yue": ("啲人今日喺田度做嘢佢哋跟住去街市買咗好多嘢佢哋話今日係好好嘅一日"
             "大家都唔使擔心冇問題咁鍾意睇嚟乜"),
+    # round-5 tranche B1 (single-script)
+    "sat": ("ᱦᱚᱲ ᱠᱚ ᱛᱮᱦᱮᱧ ᱵᱟᱰᱟᱭ ᱨᱮ ᱠᱟᱹᱢᱤ ᱠᱚ ᱟᱨ ᱛᱟᱭᱚᱢ ᱛᱮ ᱦᱟᱴ ᱥᱮᱫ ᱠᱚ "
+            "ᱪᱟᱞᱟᱜ ᱚᱱᱠᱚ ᱫᱚ ᱟᱹᱰᱤ ᱡᱤᱱᱤᱥ ᱜᱮ ᱢᱮᱱ ᱠᱚ ᱱᱟᱹ ᱞᱮᱠᱟ"),
+    "iii": ("ꊿ ꀃꑍ ꇬ ꄷ ꅉ ꈁ ꄻ ꋍ ꂷ ꆈꌠ ꉬ ꑌ ꀋ ꁧ ꈀ ꃅ ꉆ ꈨ ꌠ ꇬ ꉬ "
+            "ꊿ ꆈꌠ ꌠ ꉬ ꄷ"),
+    "chr": ("ᏴᏫ ᎪᎯ ᎢᎦ ᏚᏂᎸᏫᏍᏓᏁ ᎠᎴ ᎾᏍᎩ ᎤᏂᏪᏒ ᎦᏚᏏ ᏭᏂᎶᏒ ᎾᏍᎩ "
+            "ᎤᏂᏩᏒ ᎤᏣᏘ ᏧᎬᏩᎶᏗ ᎯᎠ ᎨᏒ ᎣᏍᏓ ᎢᎦ ᏂᎦᏓ ᎤᏓ ᏙᏓ ᏗᎨ ᏅᏓ ᏥᏄ"),
+    "vai": ("ꕉꕜꕮ ꔔꘋ ꖸ ꕮ ꗋꘋ ꕺꕱ ꔳ ꕢ ꕞ ꗃ ꖴ ꘉ ꔧ ꕘ ꕮꕊ ꕉꕜ ꖸ ꔔꘋ "
+            "ꕮ ꗋꘋ ꕢ ꕞ ꕺꕱ ꔳ"),
+    "nqo": ("ߡߐ߰ ߟߎ߫ ߦߋ߫ ߓߊ߯ߙߊ ߞߍ߫ ߟߊ߫ ߓߌ߬ ߞߊ߬ ߓߊ߲߫ ߞߊ߬ ߥߊ߫ ߛߊ߫ "
+            "ߘߐ߫ ߊ߬ߟߎ߫ ߦߋ߫ ߝߋ߲ ߛߌߦߊߡߊ߲߫ ߛߊ߲߬ ߠߊ߫ ߣߌ߫ ߕߊ ߖߊ ߝߊ ߞߏ ߓߊ ߌ "),
+    "mni": ("ꯃꯤ ꯑꯃ ꯗꯥ ꯁꯤ ꯅꯥ ꯒꯤ ꯌꯨ ꯕꯥ ꯂꯩ ꯇꯥ ꯄꯨ ꯀꯣ ꯍꯧ ꯆꯠ ꯉꯥ "
+            "ꯃꯤ ꯑꯃ ꯗꯥ ꯁꯤ ꯅꯥ"),
+    # round-5 tranche B2 (Latin)
+    "ceb": ("daghan tawo nagtrabaho sa uma karon ug human niana moadto "
+            "sila sa merkado kini usa ka maayo adlaw gyud kaayo kanila "
+            "tanan ug adunay daghan palaliton mao kini dili sayon apan "
+            "gyud kaayo karon"),
+    "ilo": ("dagiti tattao agtrabtrabaho iti talon ita ket kalpasanna "
+            "mapanda idiay tiendaan adda adu a gatangenda daytoy ket "
+            "naimbag nga aldaw iti amin met isuda ken ditoy maysa"),
+    "war": ("an mga tawo nagtatrabaho ha uma yana ngan katapos makadto "
+            "hira ha merkado damo an ira palit ini nga adlaw maupay han "
+            "ngatanan waray problema dida kay hin adto niya han"),
+    "hil": ("mga tawo nagaobra sa uma subong kag pagkatapos makadto "
+            "sila sa merkado madamo ila baklon amo ini maayo adlaw gid "
+            "para tanan indi isa gid kag madamo subong amo ini karon"),
+    "min": ("urang banyak bakarajo di sawah kini jo sasudah itu pai ka "
+            "pasa urang mambali barang nan banyak iko hari nan elok "
+            "bana untuak sadonyo indak ado sajo adolah dari"),
+    "ace": ("ureueng rame jikeurija lam umong uroe nyoe ngon oh lheueh "
+            "nyan jijak bak keude awaknyan jibloe peue peue le that "
+            "uroe nyoe got keu bandum hana jih gobnyan watee ngon nyan"),
+    "ban": ("akeh anake makarya ring carik mangkin lan sasampune punika "
+            "ipun lunga ka pasar ipun numbas barang akeh pisan sane "
+            "mangkin rahina sane becik antuk samian wenten sampun jagi olih"),
+    "xho": ("abantu abaninzi basebenza emasimini ngoku kwaye emva koko "
+            "baya kwindawo yentengiso bathenga izinto ezininzi kuba le "
+            "mini intle kakhulu kubo bonke xa kuyo yaye wona into ukuba eli"),
+    "ssw": ("bantfu labanyenti basebenta emasimini manje kanye ngemuva "
+            "kwaloko baya etitolo batsenga tintfo letinyenti kutsi "
+            "lolusuku luhle kakhulu kubo bonkhe njalo lokhu emuva nga le"),
+    "tsn": ("batho botlhe ba bereka kwa masimong jaanong mme morago ga "
+            "moo ba ya kwa marekisetsong go reka mefuta gore letsatsi "
+            "le lentle thata go bone fela jaaka bangwe sentle kgotsa "
+            "jaanong gape"),
+    "sot": ("batho ba bangata ba sebetsa masimong joale mme kamora moo "
+            "ba ea mabenkeleng ba reka lintho tse ngata hore letsatsi "
+            "le letle haholo ho bona bohle empa motho o ntse a na le "
+            "mosebetsi oa tsohle ea tsa"),
+    "nso": ("batho ba bantši ba šoma mašemong bjale gomme ka morago ga "
+            "moo ba ya mabenkeleng ba reka dilo tše dintši gape "
+            "letšatši le lebotse kudu go bona ka moka yeo mošomo wa tšeo"),
+    "ven": ("vhathu vhanzhi vha khou shuma masimuni zwino nahone nga "
+            "murahu ha zwenezwo vha ya vhengeleni vha renga zwithu "
+            "zwinzhi uri ḓuvha ḽavhuḓi vhukuma kha vhone vhoṱhe musi "
+            "hone ndi ha nga"),
+    "tso": ("vanhu vo tala va tirha emasinwini sweswi naswona endzhaku "
+            "ka sweswo va ya evhengeleni va xava swilo swo tala leswi "
+            "siku leri sasekile ngopfu eka hinkwavo kambe hi ku ya yo eka"),
+    "run": ("abantu benshi barakora mu murima ubu hanyuma baca baja kw "
+            "isoko kugura ivyo bakeneye vyinshi muri uyu musi rero "
+            "ariko kuko igihe ciza canke bara umu aba"),
+    "lug": ("abantu bangi bakola mu nnimiro kati era oluvannyuma "
+            "bagenda mu katale ne bagula ebintu bingi ddala olunaku "
+            "luno lulungi nnyo eri bonna buli omu naye nga okuva ku"),
+    "ewe": ("amewo geɖe le dɔ wɔm le agble me egbe eye emegbe wo yi asi "
+            "me wo ƒle nu geɖe ŋkeke sia nyo ŋutɔ na wo katã kple ɖe "
+            "nyuie ɖo ƒe nu na le yi"),
+    "bam": ("mɔgɔ caman bɛ baara kɛ foro la sisan ani o kɔ u bɛ taa "
+            "sugu la u bɛ fɛn caman san bi don ye don ɲuman ye mɔgɔ "
+            "bɛɛ ye ka ni ko la dɔn"),
+    "ful": ("yimɓe heewɓe ngollah gese jooni e ɓaawo ɗum ɓe njaha "
+            "luumo ɓe coodta kuje keewɗe ñalnde nde fof ko e nde ha "
+            "ɗo ngol golle ɗum ɓe"),
+    "sag": ("âzo mîngi ayeke sâra kua na yäkä lâsô na pekô nî ála gue "
+            "na gara ála vo âye mîngi lâsô ayeke nzönî lâ tî ála kûê "
+            "sô tongana pëpe nî na vo"),
+    "orm": ("namoonni baayeen amma lafa qotiisaa keessa hojii hojjetaa "
+            "jiru fi sana booda gara gabaa dhaqu isaan waan baayee "
+            "bitatu guyyaan kun kan gaarii dha itti aa fi"),
+    "kik": ("andũ aingĩ nĩ mararuta wĩra mĩgũnda rĩu na thutha ũcio nĩ "
+            "mathiĩ ndũnyũ kũgũra indo nyingĩ mũthenya ũyũ nĩ mwega "
+            "mũno kũrĩ othe gũkũ mũndũ wa kũ maingĩ"),
+    "que": ("runakuna achka chakrapi llamkachkanku kunan hinaspa "
+            "chaymanta hatun qhatuman rinku paykuna achka imakunata "
+            "rantinku kay punchaw sumaq kanqa llapanpaq chay llaqta "
+            "manta pi wan qa ta kuna"),
+    "aym": ("jaqinakax waljaniw yapuna irnaqapxi jichhax ukatx qhathur "
+            "sarapxi jupanakax walja yanak alasipxi aka urux wali "
+            "askiwa taqpachataki ukax jach a uru mpi ata iri axa apxi naka"),
+    "mri": ("he maha nga tangata e mahi ana i te mara i tenei ra ka "
+            "haere ratou ki te whare hokohoko ka hoko ratou i nga mea "
+            "maha he ra pai tenei mo ratou katoa kei te hoki ana ki o te"),
+    "smo": ("e toatele tagata o loo galulue i le faatoaga i lenei aso "
+            "ona latou o lea i le maketi e faatau mai le tele o mea ua "
+            "manaia lenei aso mo i latou uma ma le mea ona"),
+    "ton": ("ʻoku ngāue ʻa e kakai tokolahi ʻi he ngoueʻanga he ʻaho ni "
+            "pea hili ia ʻoku nau ō ki he maketi ʻo fakatau mai ʻa e "
+            "ngaahi meʻa lahi ko e ʻaho lelei eni kiate kinautolu kotoa "
+            "mo e ke"),
+    "fij": ("era cakacaka tiko e na were na tamata e levu e na siga oqo "
+            "ka oti era lako ki na makete era volia na ka e levu oqo na "
+            "siga vinaka vei ira kece sa me ni kei vaka"),
+    "tpi": ("planti manmeri i wok long gaden tude na bihain ol i go "
+            "long maket ol i baim planti samting dispela em i gutpela "
+            "de bilong olgeta ol i gat wok long ples gut em na"),
+    "nno": ("mange folk arbeider ute no og etterpå går dei til "
+            "marknaden dei kjøper mykje varer ikkje noko anna enn ein "
+            "fin dag for alle som vil gjere noko kvar dag fleire vere frå òg eit"),
+    "fao": ("nógv fólk arbeiða á markini í dag og aftaná fara teir til "
+            "marknaðin teir keypa nógvar vørur hetta er ein góður dagur "
+            "hjá øllum eisini í morgin øll fara hetta hjá teir"),
+    "bos": ("mnogo ljudi danas radi u polju i nakon toga idu na pijacu "
+            "kupuju mnogo stvari također je ovo lijep dan za sve kako "
+            "se rade i u na za"),
+    # round-5 tranche C
+    "abk": ("ауаа рацәаны аусура иаҿуп иахьа нас дара ақалақь аҟны "
+            "ицоит даара ирацәаны аахәоит ари аҽны бзиоуп ҳара зегьы "
+            "ҳзы аӡә еиҳа ажәа арахь ашҭа иҟоу"),
+    "udm": ("адямиос трос ужало бусыын туннэ собере соос базаре мыно "
+            "соос трос арбери басьто та нунал ӟеч луэ ваньзылы котьку "
+            "но уж ке лэн"),
+    "kom": ("уна йӧз уджалӧны муяс вылын талун сэсся найӧ мунӧны "
+            "базарӧ найӧ босьтӧны уна тор тайӧ лун зэв бур налӧн да "
+            "кӧ ӧны"),
+    "mhr": ("еҥ влак таче пасушто пашам ыштат вара нуно пазарыш каят "
+            "нуно шуко арверым налыт тиде кече пеш сай чылаланышт ден "
+            "ӱмбал ӧрт влак"),
+    "myv": ("ламо ломанть важодить паксясо течи мейле сынь молить "
+            "базаров сынь рамить ламо вещат те чись паро весенень ды "
+            "эрь зэ ломанть"),
+    "tyv": ("хөй кижилер бөгүн шөлде ажылдап турар оон соонда олар "
+            "садыгже баар олар хөй чүве садып алыр бо хүн эки болгаш "
+            "чер соонда бо"),
+    "krc": ("кёп адамла бюгюн сабанда ишлейдиле андан сора ала "
+            "базарга барадыла ала кёп зат сатып аладыла бу кюн ашхы "
+            "бла къой джол ла ны этедиле"),
+    "ava": ("гӏемер гӏадамал жакъа хурзабазда хӏалтӏула хадув гьел "
+            "базаралде уна гьез гӏемер жо босула гьаб къо лъикӏаб "
+            "буго ва руго щиб бер ул"),
+    "bua": ("олон хүнүүд мүнөөдэр талмайда ажал хэнэ тиигээд һүүлдэнь "
+            "зах худалдаанда ошоно тэдэ олон юумэ худалдажа абана энэ "
+            "үдэр һайн байна гэжэ хэлэнэ ехэ дэ үүд нууд"),
+    "kal": ("inuit amerlasuut ullumi narsaatini suliapput taava "
+            "niuertarfimmut ingerlapput tassani pisiarisarpaat "
+            "amerlasuut ulloq manna ajunngilaq tamanut toq neq llu "
+            "put mut unga"),
+    "haw": ("hana ka poʻe he nui ma ka māla i kēia lā a ma hope hele "
+            "lākou i ka mākeke kūʻai lākou i nā mea he nui he lā "
+            "maikaʻi kēia no lākou a pau ua o na"),
+    "bis": ("ol man oli wok long garen tede mo afta oli go long maket "
+            "oli pem plante samting hemia i gutfala dei blong olgeta "
+            "tumas mo oli stap gud"),
+    "pap": ("hopi hende ta traha den kunuku awe i despues nan ta bai "
+            "merkado nan ta kumpra hopi kos e dia aki ta bon pa nan "
+            "tur ku den un di"),
+    "mfe": ("bann dimounn pe travay dan karo zordi ek apre zot al "
+            "laplas zot aste boukou kitsoz zordi enn zoli zour pou "
+            "zot tou ena li dan enn aster"),
+    "srn": ("furu sma e wroko na gron tide en baka dati den e go na "
+            "wowoyo den e bay furu sani a dey disi bun gi den alamala "
+            "nanga ala fu e na go"),
+    "lat": ("homines multi in agris laborant hodie atque postea ad "
+            "forum eunt multa ibi emunt hic dies bonus est omnibus "
+            "qui cum eis sunt que orum unt bus am"),
+    "roh": ("blers umans lavuran oz sin ils ers e suenter van els al "
+            "marchà els chompran bleras chaussas quai è in bel di per "
+            "tuts eir cun ina ed"),
+    "kmr": ("gelek mirov îro li zeviyan kar dikin û piştre ew diçin "
+            "bazarê ew gelek tiştan dikirin ev roj ji bo wan hemûyan "
+            "xweş e ku xwe kar li û ji"),
+    "mww": ("cov neeg coob coob ua hauj lwm hauv teb hnub no thiab "
+            "tom qab ntawd lawv mus khw lawv yuav khoom ntau heev "
+            "hnub no yog hnub zoo rau lawv txhua tus tsis muaj teeb "
+            "meem tej khwv"),
+    "luo": ("ji mangeny timo tich e puodho kawuono kendo bange gidhi "
+            "e chiro ginyiewo gik moko mangeny odiechiengni ber ne ji "
+            "duto gi ma dhi e ne"),
+    "bem": ("abantu abengi balebomba mu mabala nomba elyo pa numa "
+            "baya ku maliketi ukushita ifintu ifingi ubu bushiku "
+            "busuma sana ku bonse ici na ba kwi"),
+    "srd": ("medas persones traballant in sos campos oe e posca "
+            "andant a su mercadu comporant cosas medas custa die est "
+            "bona pro totus sas unu de che a in"),
+    "fur": ("tante int e lavore tai cjamps vuê e po dopo e va al "
+            "marcjât e compre tantis robis vuê e je une biele zornade "
+            "par ducj ancje cjase il la di"),
 }
 
 
 def q_langid(spark, sf_dir):
     """N1 trigram-profile language ID (franc model, language.js:26-46):
-    struct(iso6391, iso6393) over 126 languages / 28 scripts; exact
+    struct(iso6391, iso6393) over 187 languages / 34 script gates; exact
     arithmetic oracle (score algebra rendered to SQL) over
     by-construction per-language sample texts."""
     docs = _load(_prep(spark), sf_dir, "documents")

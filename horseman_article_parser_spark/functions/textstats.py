@@ -303,6 +303,210 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
             "ᑦ ", "ᓂᒃ ", "ᖅ ", "ᓯᒪ", "ᔪᖅ", "ᑐᖅ", "ᖓ"),
     "yue": ("嘅", "係", "唔", "咗", "喺", "啲", "佢", "乜", "冇", "睇",
             "嚟", "咁", "哋", "嘢", "鍾意"),
+    # ---- round-5 breadth tranche B1: single-language scripts -------
+    # Each gets its own script gate, so every profile below is skipped
+    # entirely on text in any other script (near-zero marginal cost).
+    "sat": ("ᱦᱚᱲ", "ᱚᱲ ", "ᱟᱨ ", "ᱠᱚ ", "ᱨᱮ ", "ᱫᱚ ", "ᱞᱮᱠ", "ᱟᱹ",
+            "ᱤᱧ", "ᱥᱮᱫ", "ᱛᱮ ", "ᱜᱮ ", "ᱢᱮᱱ", "ᱱᱟᱹ", "ᱡᱤᱱ"),
+    "iii": ("ꆈꌠ", "ꌠ ", "ꉬ ", "ꊿ ", "ꇬ ", "ꑌ ", "ꄷ", "ꀋ",
+            "ꁧ", "ꋍ", "ꂷ", "ꈀ", "ꃅ", "ꉆ", "ꈨ"),
+    # Cherokee trigrams are stored pre-LOWERCASED: Unicode case-maps
+    # U+13A0-U+13F5 into the Cherokee Supplement (U+AB70-U+ABBF), and
+    # the normalizer lowercases before matching (python/DuckDB/JVM all
+    # apply the same default case mapping here).
+    "chr": ("ꭰꮄ ", "ꮎꮝꭹ", "ꮝꭹ ", "ᏼꮻ", "ꭴꮒ", "ꮒꭶꮣ", "ꭲꭶ", "ꭸꮢ",
+            "ꭿꭰ", "ꭴꮣ", "ꮩꮣ", "ꭶꮪ", "ꮧꭸ", "ꮕꮣ", "ꮵꮔ"),
+    "vai": ("ꕉꕜ", "ꕮ ", "ꔔꘋ", "ꖸ ", "ꗋꘋ", "ꕺꕱ", "ꔳ", "ꕢ",
+            "ꕞ", "ꗃ", "ꖴ", "ꘉ", "ꔧ", "ꕘ", "ꕮꕊ"),
+    "nqo": ("ߞߊ߬", "ߦߋ߫", "ߊ߬ ", "ߌ ", "ߞߍ߫", "ߡߐ߰", "ߛߊ߫", "ߟߊ߫",
+            "ߘߐ߫", "ߞߏ", "ߓߊ", "ߣߌ߫", "ߕߊ", "ߖߊ", "ߝߊ"),
+    "mni": ("ꯃꯤ", "ꯑꯃ", "ꯗꯥ ", "ꯁꯤ ", "ꯅꯥ ", "ꯒꯤ ", "ꯌꯨ", "ꯕꯥ ",
+            "ꯂꯩ", "ꯇꯥ", "ꯄꯨ", "ꯀꯣ", "ꯍꯧ", "ꯆꯠ", "ꯉꯥ"),
+    # ---- round-5 breadth tranche B2: Latin-script languages --------
+    # Distinctives lead each tuple (rank weight = 15-rank), shared
+    # high-frequency units trail so cognate neighbours cannot outscore
+    # the owner on its own text.
+    # Philippine cluster vs tgl: ceb kini/gyud, ilo dagiti/daytoy,
+    # war han/waray, hil sang/subong.
+    "ceb": ("nga ", " ug ", "kini", "mao ", "kaayo", "gyud", "karon",
+            "adunay", "ilang", "usa ", "ka ", "ang ", "mga ", "sa ", "dili"),
+    "ilo": ("dagiti", "agiti", "daytoy", "iti ", " iti", "ken ", "adda ",
+            "ditoy", "isuda", "amin ", "ti ", "nga ", "met ", "idiay", "maysa"),
+    "war": ("han ", " han", "hin ", "waray", "dida ", "yana ", "hira ",
+            "ini ", "kay ", "ha ", "nga ", "mga ", "ngan ", "adto ", "niya"),
+    "hil": ("sang ", "kag ", "amo ", "gid ", "subong", "sila ", "ini ",
+            "indi ", "ila ", "ang ", "nga ", "sa ", "mga ", "may ", "karon"),
+    # Indonesian cluster vs ind/jav/sun: min urang/untuak, ace
+    # ureueng/ngon, ban sane/punika.
+    "min": ("urang", "nan ", "untuak", "indak", " jo ", "iko ", "sajo ",
+            "bana ", "adolah", "pai ", "ka ", "di ", "itu ", "dari ", "ado "),
+    "ace": ("ureu", "eung ", "ngon ", "nyan ", "nyoe ", "jih ", "bak ",
+            "hana ", "keu ", "lam ", "uroe ", "gobnyan", "peue ", "lheueh", "watee"),
+    "ban": ("sane ", "ring ", "punika", "ipun ", "wenten", "antuk ",
+            "sampun", "akeh ", "mangkin", "rahina", "ne ", "ka ", "lan ",
+            "jagi ", "olih "),
+    # Southern-Bantu cluster vs zul/sna/nya: xho kwaye/ngoku, ssw
+    # kutsi/bantfu (ts for zul th), tsn/sot/nso split on
+    # jaanong-jaaka / joale-empa / bjale-gomme, ven vhathu, tso leswi.
+    "xho": ("kwaye", "waye ", "ukuba", "kuba ", "ngoku", "yaye ",
+            "kuyo ", "wona ", "into ", "xa ", "aba", "ntu ", "uku",
+            "nge", "eli "),
+    "ssw": ("kutsi", "utsi ", "bantfu", "ntfu", "tintfo", "letin",
+            "njalo", "manje", "kanye", "lokhu", "emuva", "batsenga",
+            "luhle", "nga ", "le "),
+    "tsn": ("jaanong", "jaaka", "gore ", "kgotsa", "bangwe", "dingwe",
+            "botlhe", "sentle", "thata ", "fela ", "batho", "tse ",
+            "kwa ", "ba ", "go "),
+    "sot": ("hore ", "joale", "haholo", "empa ", "kamora", "lintho",
+            "motho", "ntse ", "tsohle", "sebetsa", "ho ", "ea ", "tsa ",
+            "ka ", "oa "),
+    "nso": ("gomme", "bjale", "kudu ", "gape ", "morago", "mošomo",
+            "šoma", "dilo ", "tšeo", "yeo ", "go ", "ba ", "le ",
+            "ka ", "wa "),
+    "ven": ("vhathu", "hathu", "vha ", "zwithu", "zwi ", "ndi ", "uri ",
+            "musi ", "hone ", "nahone", "khou ", "renga", "shuma",
+            "nga ", "ha "),
+    "tso": ("vanhu", "swilo", "swi ", "leswi", "kambe", "naswona",
+            "tirha", "sweswi", "xava ", "siku ", "va ", "ku ", "hi ",
+            "eka ", "yo "),
+    # Rwanda-Rundi split: run ivyo/vyinshi (ky→vy shift) + ariko/baca.
+    "run": ("ivyo ", "vyinshi", "vyin", "ariko", "muri ", "kuko ",
+            "baca ", "hanyuma", "rero ", "igihe", "canke", "ubu ",
+            "bara", "umu", "aba"),
+    "lug": ("okuva", "oluvannyuma", "ddala ", "ebintu", "bingi ",
+            "katale", "olunaku", "bagenda", "nnyo ", "buli ", "kati ",
+            "era ", "naye ", "mu ", "nga "),
+    # West-African Latin: ewe ɖ/ƒ/ŋ, bam ɔ/ɛ, ful ɓ/ɗ, sag â/î/ô,
+    # orm doubled vowels, kik ĩ/ũ.
+    "ewe": ("geɖe", "kple ", "egbe ", "amewo", "ƒe ", "ɖe ", "nyuie",
+            "asi ", "ŋu", "ɖo ", "wo ", "le ", "na ", "nu ", "yi "),
+    "bam": ("mɔgɔ", "caman", "baara", "sugu ", "ɲuman", "bɛ ", "kɛ ",
+            "dɔn", "sisan", "ka ", "la ", "ye ", "ni ", "don ", "ko "),
+    "ful": ("yimɓe", "heewɓe", "ɓe ", "ɗum ", "jooni", "golle",
+            "luumo", "ñalnde", "fof ", "ngol", "ko ", "nde ", "ha ",
+            "ɗo ", "e "),
+    "sag": ("âzo ", "mîngi", "tî ", "lâsô", "ála ", "kua ", "gara ",
+            "tongana", "nî ", "sô ", "gue ", "vo ", "pëpe", "nzönî",
+            "na "),
+    "orm": ("namoonni", "keessa", "hojii", "gabaa", "guyyaa", "baayee",
+            "isaan ", "jiru ", "dhaqu", "bitatu", "kan ", "itti ",
+            "dha ", "fi ", "aa "),
+    "kik": ("mũndũ", "andũ", "thiĩ", "ndũnyũ", "wĩra", "maingĩ",
+            "mũno", "gũkũ", "ũyũ", "nĩ ", "na ", "kũ", "wa ", "rĩu ",
+            "ũcio"),
+    # Andean: que -kuna plural + llaqta, aym jaqi/qhathu.
+    "que": ("runakuna", "paykuna", "llaqta", "llam", "chay", "hatun",
+            "punchaw", "rinku", "achka", "kuna", "manta", "pi ",
+            "wan ", "qa ", "ta "),
+    "aym": ("jaqinaka", "qhathu", "jichha", "walja", "sarapxi",
+            "alasi", "ukax", "jach", "naka", "uru ", "mpi ", "ata ",
+            "iri ", "axa ", "apxi"),
+    # Oceania: mri tangata/tenei, smo tagata/galulue, ton ʻoku/ngāue,
+    # fij cakacaka/oqo, tpi bilong/dispela.
+    "mri": ("tangata", "tenei ", "ratou ", "whare ", "maha ", "hoki ",
+            "kei ", "mahi ", "o te ", "i te ", "te ", "nga ", "ki ",
+            "ana ", "he "),
+    "smo": ("tagata", "galulue", "faatau", "lenei ", "latou ",
+            "maketi", "aso ", "tele ", "o le ", "i le ", "le ", "ona ",
+            "ua ", "ma ", "mea "),
+    "ton": ("ʻoku ", "ʻi he", "kakai", "ngāue", "fakatau", "lahi ",
+            "ʻaho ", "kinautolu", "maketi", "ki he", "he ", "mo e ",
+            "ni ", "ke ", "ʻa e"),
+    "fij": ("tamata", "cakacaka", "makete", "oqo ", "era ", "levu ",
+            "siga ", "vaka", "ki na ", "e na ", "kei ", "na ", "sa ",
+            "ni ", "me "),
+    "tpi": ("bilong", "dispela", "planti", "maket ", "samting",
+            "tude ", "wok ", "long ", "ol ", "i go ", "em ", "na ",
+            "gat ", "ples ", "gut"),
+    # Nordic/Slavic splits: nno ikkje/dei vs nob, fao eisini/teir vs
+    # isl, bos pijacu/također vs hrv.
+    "nno": ("ikkje", "dei ", "noko ", "kvar ", "fleire", "gjere",
+            "vere ", "frå ", "etterpå", "mykje", "òg ", "ein ",
+            "arbeider", "går ", "eit "),
+    "fao": ("eisini", "teir ", "nógv", "fólk ", "arbeiða", "keypa",
+            "marknaðin", "dagin", "aftaná", "øll ", "vørur", "hjá ",
+            "góður", "hetta", "fara "),
+    "bos": ("također", "kako ", "danas ", "mnogo ", "nakon ", "kupuju",
+            "stvari", "rade ", "idu ", "pijacu", "ljudi ", "polju",
+            "lijep", "ovo ", "za "),
+    # ---- round-5 breadth tranche C: to franc-parity (187) ----------
+    # Cyrillic minority languages: distinctive letterforms (ҧ/ә/ҟ abk,
+    # ӟ/ӥ udm, ӧ/і kom, ҥ/ӱ mhr, ө/ү/ң tyv, къ/дж krc, гӏ/лъ ava,
+    # һ/э bua) plus function words vs rus/ukr/tat/kir/che/mon.
+    "abk": ("ауаа ", "аҟны ", "иҟоу", "ҳара ", "дара ", "аусура",
+            "ақалақь", "даара", "аҽны ", "еиҳа", "ажәа", "арахь",
+            "ашҭа", "аӡә", "зегьы"),
+    "udm": ("адямиос", "ужало ", "туннэ ", "базаре ", "басьто",
+            "мыно ", "нунал ", "ӟеч ", "соос ", "трос ", "котьку",
+            "но ", "уж ", "ке ", "лэн "),
+    "kom": ("йӧз ", "уджалӧны", "талун", "сэсся", "мунӧны", "уна ",
+            "босьтӧны", "налӧн", "найӧ", "лун ", "бур ", "ӧны ",
+            "да ", "кӧ ", "зэв "),
+    "mhr": ("влак ", "пашам", "ыштат", "таче ", "пазарыш", "шуко ",
+            "налыт", "кече ", "чылал", "нуно ", "сай ", "ден ",
+            "ӱмбал", "еҥ ", "ӧрт"),
+    "myv": ("ломанть", "важодить", "течи ", "мейле", "сынь ",
+            "молить", "базаров", "ламо ", "рамить", "чись ", "паро ",
+            "весе", "ды ", "эрь", "зэ "),
+    "tyv": ("болгаш", "кижилер", "ажылдап", "хүндүс", "бөгүн",
+            "турар ", "садып ", "алыр ", "хөй ", "баар ", "чер ",
+            "соонда", "чүве ", "эки ", "бо "),
+    "krc": ("этедиле", "барадыла", "аладыла", "адамла", "бюгюн",
+            "ишлейдиле", "базарга", "сатып ", "кёп ", "бла ", "къой",
+            "джол", "кюн ", "ла ", "ны "),
+    "ava": ("гӏемер", "гӏадамал", "хӏалтӏ", "базаралде", "жакъа",
+            "босула", "лъикӏ", "гьаб ", "руго ", "щиб ", "уна ",
+            "къо ", "ва ", "бер", "ул "),
+    "bua": ("хүнүүд", "мүнөө", "һайн", "юумэ ", "худалдажа",
+            "абана", "тиигээд", "ажал ", "гэжэ ", "олон ", "байна",
+            "ехэ ", "дэ ", "үүд ", "нууд"),
+    # Latin tranche C: creoles split on blong/bilong (bis/tpi) and
+    # bann/zot (mfe vs hat/fra); Polynesian haw ʻokina+kahakō; kal
+    # polysynthetic suffix runs; classical lat; Romance minorities
+    # (roh/srd/fur); kmr Kurmanji; mww White Hmong RPA; Bantu/Nilotic
+    # (bem/luo).
+    "kal": ("inuit ", "ullumi", "suliapput", "niuertarfi", "pisiar",
+            "amerlasuut", "erlap", "ssani", "arpa", "unga", "mut ",
+            "put ", "llu", "neq", "toq"),
+    "haw": ("poʻe", "lākou", "kēia", "mākeke", "hana ", "hele ",
+            "nui ", "i ka ", "ka ", "na ", "lā ", "ma ", "ua ",
+            "mea ", "maikaʻi"),
+    "bis": ("blong ", "oli ", "hemia", "tumas", "tede ", "gutfala",
+            "mo ", "stap ", "pem ", "plante", "ol ", "long ", "wok ",
+            "man ", "olgeta"),
+    "pap": ("hopi ", "nan ", "awe ", "kumpra", "traha", "kunuku",
+            "merkado", "bai ", "ta ", "di ", "un ", "e ", "pa ",
+            "ku ", "den "),
+    "mfe": ("bann ", "dimounn", "zot ", "aster", "boukou", "laplas",
+            "travay", "zordi", "kitsoz", "ena ", "pe ", "al ", "li ",
+            "dan ", "enn "),
+    "srn": ("furu ", "wroko", "den ", "fu ", "tide ", "wowoyo",
+            "sani ", "bay ", "go ", "na ", "e ", "dey ", "ala ",
+            "nanga", "disi"),
+    "lat": ("atque ", "homines", "agris", "forum", "multa", "emunt",
+            "hodie", "que ", "orum", "ibus", "unt ", "est ", "cum ",
+            "bus ", "am "),
+    "roh": ("blers ", "lavuran", "marchà", "chompran", "chaussas",
+            "suenter", "ils ", "ina ", "eir ", "cun ", "quai ",
+            "els ", "oz ", "ed ", "tuts"),
+    "kmr": ("gelek ", "mirov", "bazarê", "îro ", "tiştan", "dikin",
+            "diçin", "xwe ", "ku ", "û ", "ji ", "li ", "ew ",
+            "kar ", "piştre"),
+    "mww": ("thiab ", "lawv ", "neeg ", "hnub ", "ntau ", "khw ",
+            "khwv", "tsis ", "yog ", "zoo ", "cov ", "mus ", "ua ",
+            "rau ", "tej "),
+    "luo": ("kendo ", "mangeny", "kawuono", "chiro ", "nyiewo",
+            "tich ", "gik ", "moko ", "dhi ", "duto ", "ji ", "gi ",
+            "ne ", "e ", "ma "),
+    "bem": ("balebomba", "ukushita", "ifintu", "ifingi", "nomba ",
+            "bushiku", "maliketi", "abengi", "bonse ", "sana ",
+            "abantu", "elyo ", "mu ", "ku ", "ba "),
+    "srd": ("sos ", "sas ", "custa", "medas ", "traballant", "oe ",
+            "andant", "comporant", "die ", "bona ", "unu ", "in ",
+            "de ", "est ", "che "),
+    "fur": ("ancje", "cjase", "vuê ", "lavorin", "marcjât", "robis",
+            "tantis", "int ", "e po ", "une ", "di ", "il ", "la ",
+            "zornade", "ducj"),
 }
 
 # the reference's ISO-639-3 → ISO-639-1 table (language.js:6-13), the
@@ -342,6 +546,22 @@ ISO3_TO_1: dict[str, str] = {
     "yue": "zh", "ckb": "ku", "arz": "ar", "pnb": "pa",
     "bho": "en", "mai": "en", "awa": "en", "mag": "en", "hne": "en",
     "gom": "en", "skr": "en", "sah": "en",
+    # round-5 tranche B (same convention)
+    "iii": "ii", "xho": "xh", "ssw": "ss", "tsn": "tn", "sot": "st",
+    "ven": "ve", "tso": "ts", "run": "rn", "lug": "lg", "ewe": "ee",
+    "bam": "bm", "ful": "ff", "orm": "om", "kik": "ki", "que": "qu",
+    "aym": "ay", "mri": "mi", "smo": "sm", "ton": "to", "fij": "fj",
+    "nno": "nn", "fao": "fo", "bos": "bs", "sag": "sg",
+    "sat": "en", "chr": "en", "vai": "en", "nqo": "en", "mni": "en",
+    "ceb": "en", "ilo": "en", "war": "en", "hil": "en", "min": "en",
+    "ace": "en", "ban": "en", "tpi": "en", "nso": "en",
+    # round-5 tranche C (same convention; abk/ava/kom/chv-style member
+    # codes without a 2-letter code fall back to "en")
+    "abk": "ab", "kal": "kl", "lat": "la", "roh": "rm", "kmr": "ku",
+    "ava": "av", "kom": "kv", "bis": "bi", "srd": "sc", "luo": "en",
+    "udm": "en", "mhr": "en", "myv": "en", "tyv": "en", "krc": "en",
+    "bua": "en", "haw": "en", "pap": "en", "mfe": "en", "srn": "en",
+    "mww": "en", "bem": "en", "fur": "en",
 }
 LANG_DEFAULT_ISO3 = "eng"
 
@@ -389,6 +609,14 @@ LANG_SCRIPT_GATES: dict[str, str] = {
     "tat": r"[Ѐ-ӿ]", "bak": r"[Ѐ-ӿ]", "chv": r"[Ѐ-ӿ]",
     "sah": r"[Ѐ-ӿ]", "che": r"[Ѐ-ӿ]", "oss": r"[Ѐ-ӿ]",
     "dzo": r"[ༀ-࿿]", "yue": r"[一-鿿]", "iku": r"[᐀-ᙿ]",
+    # round-5 tranche B1: one new block each — Ol Chiki, Yi syllables,
+    # Cherokee, Vai, NKo, Meetei Mayek
+    "sat": r"[᱐-᱿]", "iii": r"[ꀀ-꓿]", "chr": r"[Ꭰ-᏿ꭰ-ꮿ]",
+    "vai": r"[ꔀ-꘿]", "nqo": r"[߀-߿]", "mni": r"[ꯀ-꯿]",
+    # round-5 tranche C: Cyrillic minorities reuse the rus range
+    "abk": r"[Ѐ-ӿ]", "udm": r"[Ѐ-ӿ]", "kom": r"[Ѐ-ӿ]",
+    "mhr": r"[Ѐ-ӿ]", "myv": r"[Ѐ-ӿ]", "tyv": r"[Ѐ-ӿ]",
+    "krc": r"[Ѐ-ӿ]", "ava": r"[Ѐ-ӿ]", "bua": r"[Ѐ-ӿ]",
 }
 
 # Latin-script gate for every language NOT in LANG_SCRIPT_GATES: all 25
