@@ -281,8 +281,8 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
             "ہن ", "توں ", "کیتا", "جاند", "وی ", "لئی", "فیر", "کم "),
     "arz": ("اللي", "للي ", " ده ", "ده ", "مش ", " مش", "علشان",
             "شان ", "كده ", "بتاع", "عايز", "فيه ", "دي ", "بس ", "حاج"),
-    # Cyrillic cluster — Tatar һәм/өчen vs Bashkir менән/өсөн/ҡ-ҙ,
-    # Chuvash ă/ĕ/ҫ, Yakut уонна/дьон/һ, Chechen цхьа/ӏ, Ossetic æ.
+    # Cyrillic cluster — Tatar һәм/өчен vs Bashkir менән/өсөн/ҡ-ҙ,
+    # Chuvash ӑ/ӗ/ҫ, Yakut уонна/дьон/һ, Chechen цхьа/ӏ, Ossetic ӕ.
     "tat": ("һәм ", "әм ", "белән", "лән ", "өчен", "чен ", "кеше",
             "шәһәр", "лар ", "ләр ", "бер ", "бүген", "яхшы", "була", "да "),
     "bak": ("менән", "нән ", "өсөн", "сөн ", "беҙ ", "ҡала", "баҙар",
