@@ -632,6 +632,18 @@ LANG_SCRIPT_GATES: dict[str, str] = {
 # computed once per row as a real column (script_gate_flags_col).
 LATIN_GATE = r"\p{IsLatin}"
 
+# Python re lacks Java's \p{IsLatin}; the batch kernel uses this class
+# instead: Basic Latin + Latin-1/Extended-A/B + IPA + Latin Extended
+# Additional + Extended-C + Extended-D. The identity requirement is
+# one-directional — every ungated profile trigram must contain >=1
+# char IN THIS CLASS (so "text contains a Latin trigram" implies "the
+# kernel gate matches"); tests/test_textstats.py::
+# test_latin_gate_identity_invariant asserts each trigram against this
+# exact class, not Unicode names, so a profile using only
+# outside-class letters (e.g. the U+02BB ʻokina, script=Common) fails
+# the test instead of silently zeroing in the kernel.
+LATIN_KERNEL_CLASS = "[A-Za-zÀ-ÖØ-öø-ʯḀ-ỿⱠ-ⱿꜢ-ꟿ]"
+
 
 def script_gate_flags_col(norm: Column) -> Column:
     """One boolean per DISTINCT script-gate regex (24 ranges + Latin),
@@ -791,14 +803,7 @@ def langid_batch_col(norm_text: Column) -> Column:
     iso1_map = dict(ISO3_TO_1)
     default3, default1 = LANG_DEFAULT_ISO3, LANG_DEFAULT
 
-    # Python re lacks Java's \p{IsLatin}; this class covers Basic Latin
-    # + Latin-1/Extended-A/B + IPA + Latin Extended Additional — a
-    # superset of every character any Latin profile trigram uses, so
-    # the gate stays an exact identity (a Latin trigram occurring in
-    # the text implies the class matches).
-    latin_cls = (
-        "[A-Za-zÀ-ÖØ-öø-ʯḀ-ỿ]"
-    )
+    latin_cls = LATIN_KERNEL_CLASS
 
     def _kernel(s):
         gate_res = {g: _re.compile(g) for g in set(gates.values())}

@@ -855,9 +855,65 @@ def _en_gradable_forms(stem: str) -> list[str]:
     return [stem + "er", stem + "est"]
 
 
+# Closed-class words in EN_GB_WORDS that must NOT be run through the
+# noun/verb affix rules — their "inflections" (thes, becauseing) are
+# never real words, and the open-class rules below would accept them.
+EN_CLOSED_CLASS = frozenset("""
+a an and or but if then when while of to in on at by for with from as
+is are was were be been being am do does did done have has had having
+will would shall should can could may might must not no nor so yet
+both either neither each every all any some few many much more most
+other another such what which who whom whose this that these those i
+you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs there here now once again very too also
+just only even still about above across after against along among
+around before behind below beneath beside between beyond during
+except inside into near off over past since through throughout under
+until up upon within without out down than because although though
+unless whether cannot
+""".split())
+
+# Irregular comparatives / compounds the affix rules cannot derive.
+EN_IRREGULAR_EXTRA = """
+worse worst further furthest farther farthest elder eldest whoever
+whomever whichever whatever whenever wherever however moreover
+nevertheless nonetheless meanwhile
+""".split()
+
+# Concrete everyday nouns (fabrics, woods, colours, foods, times of
+# day) absent from the frequency-ordered base list. Besides spellcheck
+# coverage these feed the NER locative rule's known-word veto: "dressed
+# in khaki" must not mint a Khaki place (operators/entities.py).
+EN_CONCRETE_NOUNS = """
+khaki denim gingham corduroy tweed velvet linen suede teak cedar
+mahogany walnut birch maple pine twilight noon crimson maroon
+turquoise beige ivory indigo scarlet amber ochre charcoal granite
+marble slate quartz gravel moss fern heather thistle clover sage basil
+thyme cinnamon nutmeg saffron paprika vanilla caramel toffee fudge
+porridge broth stew casserole chutney relish brine vinegar yeast dough
+batter gruel silk wool leather canvas burlap gauze taffeta chiffon
+satin brocade
+""".split()
+
+
 def _expand_en() -> set[str]:
     out: set[str] = set(EN_GB_WORDS.split())
     out.update(EN_EXTRA_WORDS)
+    out.update(EN_IRREGULAR_EXTRA)
+    for w in EN_CONCRETE_NOUNS:
+        out.add(w)
+        out.add(_en_plural(w))
+    # the base list is full of open-class words (try, pay, government)
+    # whose inflections real prose uses constantly; run every
+    # non-closed-class base word through the same affix rules as the
+    # stem lists. Junk forms this generates for the odd adjective are
+    # accepted-as-correct only (false negatives, sanctioned by the
+    # module scope note) — they can never flag correct prose.
+    for w in EN_GB_WORDS.split():
+        if w in EN_CLOSED_CLASS or len(w) < 3:
+            continue
+        out.add(_en_plural(w))
+        out.update(_en_verb_forms(w))
     for n in EN_NOUN_STEMS:
         out.add(n)
         out.add(_en_plural(n))
@@ -914,10 +970,36 @@ _FR_IR_ENDINGS = [
 ]
 
 
+# -er stems that alternate before a silent/mute-e ending (present
+# singular + 3pl) and throughout the future/conditional: è-grave
+# (acheter → achète, achèterai) and l/t-doubling (rappeler →
+# rappelle, rappellerai). Forms are generated with the changed stem
+# exactly where French orthography uses it; the plain stem keeps the
+# infinitive, nous/vous present, imparfait and participles.
+FR_ER_STEM_CHANGES = {"achet": "achèt", "rappel": "rappell"}
+_FR_ER_CHANGED = tuple(
+    e for e in _FR_ER_ENDINGS
+    if e in ("e", "es", "ent") or (e.startswith("er") and e != "er")
+)
+
+
+def _fr_er_forms(stem: str) -> list[str]:
+    alt = FR_ER_STEM_CHANGES.get(stem)
+    out = []
+    for e in _FR_ER_ENDINGS:
+        base = alt if (alt and e in _FR_ER_CHANGED) else stem
+        # -cer verbs soften c→ç before a/o endings (commencer →
+        # commençons, commençait)
+        if base.endswith("c") and e[0] in "ao":
+            base = base[:-1] + "ç"
+        out.append(base + e)
+    return out
+
+
 def _expand_fr() -> set[str]:
     out: set[str] = set(FR_WORDS.split())
     for stem in FR_VERB_ER_STEMS:
-        out.update(stem + e for e in _FR_ER_ENDINGS)
+        out.update(_fr_er_forms(stem))
     for stem in FR_VERB_IR_STEMS:
         out.update(stem + e for e in _FR_IR_ENDINGS)
     for n in FR_NOUN_PLUS_S:
@@ -978,10 +1060,45 @@ _ES_IR_ENDINGS = [
 ]
 
 
+# -ar stems that diphthongize in the stressed (boot) present forms:
+# pensar → pienso/piensas/piensa/piensan but pensamos/pensé. The
+# changed stem applies only to o/as/a/an; everything else (incl. the
+# orthographic preterite below) uses the plain stem.
+ES_AR_STEM_CHANGES = {"pens": "piens", "encontr": "encuentr",
+                      "jug": "jueg"}
+_ES_AR_BOOT = ("o", "as", "a", "an")
+# irregular past participles of otherwise-regular -ir stems in the
+# list (abrir → abierto, escribir → escrito, descubrir → descubierto)
+ES_EXTRA_FORMS = (
+    "abierto abierta abiertos abiertas escrito escrita escritos "
+    "escritas descubierto descubierta descubiertos descubiertas"
+).split()
+
+
+def _es_ar_forms(stem: str) -> list[str]:
+    alt = ES_AR_STEM_CHANGES.get(stem)
+    out = []
+    for e in _ES_AR_ENDINGS:
+        base = alt if (alt and e in _ES_AR_BOOT) else stem
+        # preterite 1sg é keeps the stem's sound: buscar → busqué,
+        # pagar → pagué, organizar → organicé
+        if e == "é":
+            if base.endswith("c"):
+                base = base[:-1] + "qu"
+            elif base.endswith("g"):
+                base = base + "u"
+            elif base.endswith("z"):
+                base = base[:-1] + "c"
+        out.append(base + e)
+    return out
+
+
 def _expand_es() -> set[str]:
     out: set[str] = set(ES_WORDS.split())
+    out.update(ES_EXTRA_FORMS)
+    for stem in ES_VERB_AR_STEMS:
+        out.update(_es_ar_forms(stem))
     for stem, ends in (
-        *((s, _ES_AR_ENDINGS) for s in ES_VERB_AR_STEMS),
         *((s, _ES_ER_ENDINGS) for s in ES_VERB_ER_STEMS),
         *((s, _ES_IR_ENDINGS) for s in ES_VERB_IR_STEMS),
     ):

@@ -277,3 +277,27 @@ def test_org_span_does_not_absorb_capitalized_tokens():
     assert all("Robotics" not in o for o in r["orgs"])
     r2 = extract_entities("the startup acme robotics shipped units today.")
     assert "Acme Robotics" in r2["orgs"]
+
+
+def test_locative_rule_ignores_common_nouns():
+    """Precision pin for the locative place rule (r5 review): a
+    lowercase common noun after in/from/near must NOT be minted as a
+    Place — the known-word veto now runs against the full expanded
+    wordlist('en'), so only genuinely out-of-vocabulary tokens
+    ("from ouagadougou") qualify."""
+    from horseman_article_parser_spark.operators.entities import (
+        extract_entities,
+    )
+
+    clean = [
+        "dressed in khaki, they marched through the field.",
+        "the table was carved from teak and cedar.",
+        "we camped near twilight and cooked stew in broth.",
+        "she paid for the denim jacket and the wool coat.",
+    ]
+    for text in clean:
+        res = extract_entities(text)
+        assert not res.get("places"), (text, res["places"])
+    # the recall case the rule exists for still fires
+    res = extract_entities("reports from ouagadougou say rates rose.")
+    assert "Ouagadougou" in res["places"]

@@ -184,27 +184,27 @@ def test_keyphrases_pooled_lengths(spark):
 
 def test_latin_gate_identity_invariant():
     """Every ungated (Latin-script) profile's trigrams must each carry
-    >=1 Latin-script letter — the precondition for LATIN_GATE being an
-    identity (no-Latin text => all Latin profile scores are 0 anyway).
-    Guards future profile additions."""
-    import unicodedata
+    >=1 character matching the batch kernel's OWN Latin class — the
+    precondition for its gate being an identity (no-class-match text
+    => all Latin profile scores are 0 anyway). Testing against
+    LATIN_KERNEL_CLASS itself (not Unicode names) guards the exact
+    failure mode: a future trigram whose only Latin letters fall
+    outside the kernel class would silently zero that language in the
+    kernel while the Column-algebra path still scores it."""
+    import re
 
     from horseman_article_parser_spark.functions.textstats import (
         LANG_SCRIPT_GATES,
         LANG_TRIGRAMS,
+        LATIN_KERNEL_CLASS,
     )
 
-    def is_latin(ch):
-        try:
-            return unicodedata.name(ch).startswith("LATIN")
-        except ValueError:
-            return False
-
+    latin_re = re.compile(LATIN_KERNEL_CLASS)
     for lang, tgs in LANG_TRIGRAMS.items():
         if lang in LANG_SCRIPT_GATES:
             continue
         for tg in tgs:
-            assert any(is_latin(ch) for ch in tg), (lang, tg)
+            assert latin_re.search(tg), (lang, tg)
 
 
 def test_langid_gate_flags_identity(spark):
