@@ -236,6 +236,18 @@ ORG_TAIL_WORDS = {
     "analytics", "dynamics", "networks", "solutions", "biosciences",
     "pharmaceuticals", "semiconductors", "aerospace", "motors",
 } | ORG_SUFFIXES
+# following-context triggers: a financial-report noun or market-move
+# verb right AFTER an out-of-vocabulary token marks it as an org
+# ("qantara results beat expectations", "as veltrix stumbled") — the
+# mirror image of ORG_CONTEXT_WORDS, which precede the name.
+ORG_FOLLOW_NOUNS = {
+    "results", "earnings", "shares", "stock", "revenue", "revenues",
+    "profits", "sales", "guidance", "forecast", "shareholders",
+}
+MARKET_VERBS = {
+    "stumbled", "rallied", "surged", "slumped", "tumbled", "soared",
+    "plunged", "rebounded", "outperformed", "underperformed",
+}
 PLACE_PREPOSITIONS = {"in", "from", "near"}
 
 _COMMON_WORDS_CACHE: set[str] | None = None
@@ -840,6 +852,21 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
             full = _title(f"{na} {nb}")
             add(people, full, seen_p)
             add(topics, full, seen_t)
+
+    # following-context org triggers ("qantara results …", "as veltrix
+    # stumbled"): out-of-vocabulary token immediately before a
+    # financial-report noun or market-move verb becomes an org
+    for i, n in enumerate(lower_norm):
+        if (
+            (n in ORG_FOLLOW_NOUNS or n in MARKET_VERBS)
+            and i > 0 and i - 1 not in consumed
+            and _unknown_tok(i - 1)
+            and raw_tokens[i - 1] == raw_tokens[i - 1].lower()
+        ):
+            consumed.add(i - 1)
+            name = _title(lower_norm[i - 1])
+            add(orgs, name, seen_o)
+            add(topics, name, seen_t)
 
     # locative preposition + unknown token ("from ouagadougou") → place;
     # skipped when the next token is an org tail ("from acme robotics"
