@@ -303,7 +303,8 @@ slogan slope smartphone smoke snake soap soccer society sock soil soldier
 solicitor solution sort soul soup source speaker specialist spectrum
 speech speed spirit sponsor spoon spot spray spread spy square squirrel
 stadium staff stage stair stake stamp standard statement statue status
-steam steel stem stick stomach storm stove strategy strength strip stroke
+steam steel stem stick stock stockholder stomach storm stove strategy
+strength strip stroke forecast shareholder
 structure studio style subject submission substance suburb suggestion suit
 summary summit supermarket supplier supply supporter surgeon surgery
 survey suspect sweater swimmer switch symbol sympathy symptom syndrome
@@ -432,6 +433,7 @@ lick lift like limit link list listen live load loan locate lock long
 look love lower maintain manage manipulate march mark market marry
 match measure melt mention merge migrate mind minimise miss mix moan
 modify monitor motivate mount mourn move multiply murder name narrate
+rally slump tumble soar rebound underperform disappoint spook anger alarm
 navigate need neglect negotiate nod nominate note notice notify object
 observe obtain occupy offer open operate oppose order organise
 outline overlook owe own pack paint park participate pass
@@ -669,6 +671,7 @@ forgetting upset upsets upsetting
 submit submits submitted submitting embed embeds embedded embedding
 emit emits emitted emitting recur recurs recurred recurring infer
 infers inferred inferring mimic mimics mimicked mimicking
+quarterly fiscal retail tech earnings
 overlap overlaps overlapped overlapping control controls controlled
 controlling kidnap kidnaps kidnapped kidnapping worship worships
 worshipped worshipping handicap handicapped program programs programmed
@@ -859,11 +862,11 @@ def _en_gradable_forms(stem: str) -> list[str]:
 # noun/verb affix rules — their "inflections" (thes, becauseing) are
 # never real words, and the open-class rules below would accept them.
 EN_CLOSED_CLASS = frozenset("""
-a an and or but if then when while of to in on at by for with from as
+a an the and or but if then when while of to in on at by for with from as
 is are was were be been being am do does did done have has had having
 will would shall should can could may might must not no nor so yet
 both either neither each every all any some few many much more most
-other another such what which who whom whose this that these those i
+other another such what which who whom whose where why how this that these those i
 you he she it we they me him her us them my your his its our their
 mine yours hers ours theirs there here now once again very too also
 just only even still about above across after against along among

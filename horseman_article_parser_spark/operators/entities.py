@@ -789,6 +789,7 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
             # "deepgram hired" would merge into one org span
             and n not in ROLE_TRIGGERS and n not in REPORT_VERBS
             and n not in ORG_CONTEXT_WORDS and n not in ORG_TAIL_WORDS
+            and n not in ORG_FOLLOW_NOUNS and n not in MARKET_VERBS
             and n not in PLACE_PREPOSITIONS
         )
 
@@ -859,9 +860,7 @@ def extract_entities(text: str | None, hints: dict | None = None) -> dict:
     for i, n in enumerate(lower_norm):
         if (
             (n in ORG_FOLLOW_NOUNS or n in MARKET_VERBS)
-            and i > 0 and i - 1 not in consumed
-            and _unknown_tok(i - 1)
-            and raw_tokens[i - 1] == raw_tokens[i - 1].lower()
+            and i > 0 and _unknown_tok(i - 1)
         ):
             consumed.add(i - 1)
             name = _title(lower_norm[i - 1])

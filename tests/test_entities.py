@@ -303,3 +303,43 @@ def test_locative_rule_ignores_common_nouns():
     # the recall case the rule exists for still fires
     res = extract_entities("reports from ouagadougou say rates rose.")
     assert "Ouagadougou" in res["places"]
+
+def test_following_context_rule_ignores_plain_finance_prose():
+    """Precision pin for the following-context org rule (r5 review #2):
+    ORG_FOLLOW_NOUNS / MARKET_VERBS are trigger vocabulary — "known" by
+    definition — so they must be excluded from _unknown_tok, and common
+    finance modifiers (quarterly, fiscal, retail, tech, earnings, stock)
+    must sit in wordlist('en'). Without both, ordinary market prose
+    minted phantom orgs ('Stock', 'Quarterly', 'Stock Tumbled')."""
+    clean = [
+        "the stock tumbled five percent before noon.",
+        "the earnings forecast beat expectations.",
+        "the company stock tumbled on the news.",
+        "quarterly earnings soared across the sector.",
+        "retail sales slumped while tech shares rallied.",
+        "fiscal guidance disappointed shareholders again.",
+    ]
+    for text in clean:
+        res = extract_entities(text)
+        assert not res.get("orgs"), (text, res["orgs"])
+    # the recall cases the rule exists for still fire
+    assert "Qantara" in extract_entities(
+        "qantara results beat expectations.")["orgs"]
+    assert "Veltrix" in extract_entities(
+        "as veltrix stumbled, rivals gained.")["orgs"]
+
+
+def test_closed_class_words_not_inflected():
+    """r5 review #2: 'the' (and where/why/how) must be in
+    EN_CLOSED_CLASS so the affix pass never generates junk forms —
+    'thes' was silently accepted as correctly spelled, un-flagging a
+    frequent real typo."""
+    from horseman_article_parser_spark.functions.wordlists import wordlist
+
+    wl = wordlist("en")
+    for junk in ["thes", "thed", "theing", "whered", "wheres", "whying",
+                 "howed", "howing"]:
+        assert junk not in wl, junk
+    for real in ["the", "where", "why", "how", "quarterly", "earnings",
+                 "rallied", "tumbled", "shareholders", "forecasts"]:
+        assert real in wl, real
