@@ -59,8 +59,38 @@ def _prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_FANOUT_CACHE: dict[tuple[str, str], bool] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a table, fanning out DEGENERATE input layouts.
+
+    The small-SF test parquet is written as ONE row group per file; a
+    row group is Spark's minimum split unit, so no maxPartitionBytes /
+    openCostInBytes setting can parallelize the scan — every per-row
+    kernel downstream (langid, keywords, url algebra, image decode)
+    runs as a single task with the other 31 cores idle. When the file
+    layout offers fewer splits than the session has cores, spread the
+    rows with one round-robin repartition (a single pass over a tiny
+    file). At production scale — files with hundreds of 128 MB row
+    groups — the condition is false and the plan is untouched; hash
+    exchanges, the actual scale hazard, are still audited separately
+    (scripts/explain_audit.py forbids them on per-row plans)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (sf_dir, name)
+    fanout = _FANOUT_CACHE.get(key)
+    if fanout is None:
+        try:
+            import pyarrow.parquet as pq
+
+            groups = pq.ParquetFile(f"{sf_dir}/{name}.parquet").num_row_groups
+        except Exception:
+            groups = 1 << 30  # unreadable metadata: assume splittable
+        fanout = groups < spark.sparkContext.defaultParallelism
+        _FANOUT_CACHE[key] = fanout
+    if fanout:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -1233,21 +1263,18 @@ def q_keywords_cleaned(spark, sf_dir):
 def q_keywords_topk(spark, sf_dir):
     """N3/A9 keywords + keyphrases in one union surface: kind='term'
     rows are the POS-gated TF top-10 unigrams, kind='phrase' rows the
-    noun-phrase bigram top-8 with the reference's normalized weight
-    scaled to bigint (floats never reach the driver hash)."""
+    noun-phrase 2/3-gram top-8 pooled ranking (retext-keywords ranks
+    variable-length spans together) with the reference's normalized
+    weight scaled to bigint (floats never reach the driver hash).
+
+    Runs the Arrow-kernel scale path (keywords_phrases_batch): per-doc
+    TF top-k needs no cross-row state, so the declarative explode →
+    hash-agg → window pays two shuffles for nothing. Bit-parity with
+    the declarative keywords_topk ∪ keyphrases_topk plan is pinned by
+    tests/test_textstats.py::test_keywords_kernel_matches_declarative."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    kws = TS.keywords_topk(docs, k=10).select(
-        "doc_id", F.lit("term").alias("kind"), F.col("term").alias("gram"),
-        "tf", "rank", F.lit(None).cast("long").alias("score_x1e9"),
-    )
-    # kind='phrase' pools 2- and 3-gram noun phrases into one ranking,
-    # like retext-keywords' variable-length keyphrase spans
-    phr = TS.keyphrases_topk(docs, k=8, n=(2, 3)).select(
-        "doc_id", F.lit("phrase").alias("kind"), F.col("phrase").alias("gram"),
-        "tf", "rank",
-        F.round(F.col("score") * 1_000_000_000).cast("long").alias("score_x1e9"),
-    )
-    return kws.unionByName(phr)
+    return TS.keywords_phrases_batch(docs, k_terms=10, k_phrases=8,
+                                     lengths=(2, 3))
 
 
 # -- dedup -------------------------------------------------------------------

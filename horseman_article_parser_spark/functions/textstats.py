@@ -1128,7 +1128,15 @@ def sentiment_cols(text: Column | str, lexicon: dict[str, int] | None = None,
 def sentiment_via_join(docs: DataFrame, lexicon: dict[str, int] | None = None,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """A10 as the canonical explode→broadcast-join→agg plan (the shape
-    that scales when the lexicon is AFINN-165-sized rather than inline)."""
+    that scales when the lexicon is AFINN-165-sized rather than inline).
+
+    The explode is map-side PRE-FILTERED to lexicon hits: non-sentiment
+    tokens (the overwhelming majority) never become rows, so the
+    hash-agg shuffle carries |hits| instead of |tokens| rows — ~50×
+    smaller here, same result (a dropped token contributes 0 to the sum
+    either way; explode_outer keeps zero-hit docs alive with a null
+    token that left-joins to nothing). Measured 6.5 s → 0.7 s at sf0.1,
+    verified row-identical to the unfiltered plan."""
     lex = lexicon or AFINN_MINI
     spark = docs.sparkSession
     lex_df = F.broadcast(
@@ -1136,7 +1144,9 @@ def sentiment_via_join(docs: DataFrame, lexicon: dict[str, int] | None = None,
     )
     toks = docs.select(
         id_col, token_count_col(text_col).alias("n_tokens"),
-        F.explode(tokens_col(text_col)).alias("token"),
+        F.explode_outer(
+            F.filter(tokens_col(text_col), lambda t: t.isin(*sorted(lex)))
+        ).alias("token"),
     )
     return (
         toks.join(lex_df, "token", "left")
@@ -1387,6 +1397,14 @@ def keyphrases_topk(docs: DataFrame, k: int = 10, n: int | tuple[int, ...] = 2,
     # both fixes the crash and matches the oracle (range() yields zero
     # rows for short docs).
     toks = toks.filter(F.size("_t") >= min(lengths))
+    # NOTE (r5): two "optimizations" were tried and measured SLOWER
+    # than this shape, both for the same reason — Catalyst's
+    # CollapseProject inlines a materialized helper array (per-token
+    # gate flags) at every use site, and higher-order array functions
+    # run interpreted, so per-row array algebra recomputes the gate
+    # regex ~25× per row (24 s vs 4.9 s at sf0.1). The explode →
+    # hash-agg (map-side combine) → per-doc window below is the right
+    # Spark shape; leave it.
     def _join_grams(ln: int):
         # single-arg lambda REQUIRED: F.transform treats a 2-parameter
         # function as (element, index) — a default-arg closure would be
@@ -1423,3 +1441,131 @@ def keyphrases_topk(docs: DataFrame, k: int = 10, n: int | tuple[int, ...] = 2,
         .filter(F.col("rank") <= k)
         .select(id_col, "phrase", "tf", F.round("score", 9).alias("score"), "rank")
     )
+
+def keywords_phrases_batch(docs: DataFrame, k_terms: int = 10,
+                           k_phrases: int = 8,
+                           lengths: tuple[int, ...] = (2, 3),
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           stopwords: tuple[str, ...] = STOPWORDS_MINI,
+                           ) -> DataFrame:
+    """The SCALE path for the keywords+keyphrases surface: ONE Arrow
+    batch kernel per doc row instead of explode → (doc, gram) hash-agg
+    → per-doc window — per-document TF top-k needs no cross-row state,
+    so the two shuffles are pure overhead. Bit-exact with
+    keywords_topk(k_terms) ∪ keyphrases_topk(k_phrases, lengths)
+    (pinned by tests/test_textstats.py::
+    test_keywords_kernel_matches_declarative).
+
+    Tokenization stays JVM-side (tokens_col), mirroring how the langid
+    kernel keeps normalization JVM-side: the kernel sees the exact
+    token arrays the declarative plan would explode, so Java-vs-Python
+    regex whitespace semantics can never diverge. In-kernel the noun
+    gate (first-char Lu | lexicon + ly/ing/ed suffix rules) is memoized
+    per distinct surface token across the batch — the declarative plan
+    re-evaluates its regex per occurrence. round(x, 9) and
+    round(x*1e9) replicate Spark's HALF_UP-on-shortest-repr double
+    rounding via Decimal so score_x1e9 is bit-identical.
+
+    Output is already exploded: (id, kind, gram, tf, rank, score_x1e9)
+    with kind='term' rows (score_x1e9 null) and kind='phrase' rows.
+    """
+    import unicodedata
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    from typing import Iterator
+
+    import pandas as pd
+
+    non_noun = frozenset(NON_NOUN_LEXICON)
+    ly_n = frozenset(LY_NOUNS)
+    ing_n = frozenset(ING_NOUNS)
+    ed_n = frozenset(ED_NOUNS)
+    stop = frozenset(stopwords)
+    lens = tuple(lengths)
+    kt, kp = int(k_terms), int(k_phrases)
+
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, kind string, "
+        "gram string, tf long, rank int, score_x1e9 long"
+    )
+
+    def _round_half_up(x: float, digits: int) -> float:
+        # Spark round(double, d): BigDecimal.valueOf(x) (shortest repr,
+        # == Python repr) quantized HALF_UP — replicated exactly.
+        q = Decimal(1).scaleb(-digits)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gate_cache: dict[str, bool] = {}
+
+        def gate(tok: str) -> bool:
+            g = gate_cache.get(tok)
+            if g is None:
+                if tok and unicodedata.category(tok[0]) == "Lu":
+                    g = True
+                else:
+                    low = tok.lower()
+                    g = (
+                        low not in non_noun
+                        and not (low.endswith("ly") and len(low) > 4
+                                 and low not in ly_n)
+                        and not (low.endswith("ing") and len(low) > 5
+                                 and low not in ing_n)
+                        and not (low.endswith("ed") and len(low) > 4
+                                 and low not in ed_n)
+                    )
+                gate_cache[tok] = g
+            return g
+
+        for pdf in batches:
+            ids, kinds, grams, tfs, ranks, scores = [], [], [], [], [], []
+            for rid, toks in zip(pdf[id_col], pdf["_t"]):
+                toks = list(toks)
+                # kind='term': stopword + length + gate filter, TF,
+                # (tf desc, term asc) top-k — keywords_topk exactly
+                cnt = Counter(
+                    t for t in toks
+                    if t not in stop and len(t) > 1 and gate(t)
+                )
+                for rk, (term, tf) in enumerate(
+                    sorted(cnt.items(), key=lambda it: (-it[1], it[0]))[:kt],
+                    start=1,
+                ):
+                    ids.append(rid); kinds.append("term"); grams.append(term)
+                    tfs.append(tf); ranks.append(rk); scores.append(None)
+                # kind='phrase': all n-grams of each length, edge-
+                # stopword + len>3 + all-words-gated, pooled ranking,
+                # score = round(tf/max_tf, 9) — keyphrases_topk exactly
+                if len(toks) < min(lens):
+                    continue
+                pcnt: Counter = Counter()
+                for ln in lens:
+                    for i in range(len(toks) - ln + 1):
+                        w = toks[i:i + ln]
+                        if w[0] in stop or w[-1] in stop:
+                            continue
+                        p = " ".join(w)
+                        if len(p) > 3 and all(gate(t) for t in w):
+                            pcnt[p] += 1
+                if not pcnt:
+                    continue
+                max_tf = max(pcnt.values())
+                for rk, (p, tf) in enumerate(
+                    sorted(pcnt.items(), key=lambda it: (-it[1], it[0]))[:kp],
+                    start=1,
+                ):
+                    s9 = _round_half_up(tf / max_tf, 9)
+                    ids.append(rid); kinds.append("phrase"); grams.append(p)
+                    tfs.append(tf); ranks.append(rk)
+                    scores.append(int(_round_half_up(s9 * 1_000_000_000, 0)))
+            yield pd.DataFrame({
+                id_col: ids, "kind": kinds, "gram": grams,
+                "tf": pd.Series(tfs, dtype="int64"),
+                "rank": pd.Series(ranks, dtype="int32"),
+                "score_x1e9": pd.Series(scores, dtype="object"),
+            })
+
+    toked = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    return toked.mapInPandas(kernel, out_schema)

@@ -51,6 +51,11 @@ EXPECTATIONS = {
     "sentiment": [
         ("BroadcastHashJoin", "AFINN lexicon must broadcast"),
     ],
+    # keywords/keyphrases: the Arrow kernel path — per-doc TF top-k is
+    # per-row work, so the plan must be one MapInPandas over the scan
+    "keywords_topk": [
+        ("MapInPandas", "per-doc top-k runs in the Arrow kernel"),
+    ],
     # minhash (folded into minhash_lsh): ONE data exchange (the groupBy
     # on doc_id); partial aggregation map-side
     "minhash_lsh": [
@@ -68,8 +73,19 @@ EXPECTATIONS = {
 }
 
 FORBIDDEN = {
-    "url_filters": [("Exchange", "pure per-row predicates must not shuffle")],
-    "url_transforms": [("Exchange", "pure per-row transforms must not shuffle")],
+    # "Exchange hashpartitioning" is the algorithmic shuffle (the scale
+    # hazard: key-redistributing the whole table). A single
+    # RoundRobinPartitioning is NOT forbidden on per-row plans — it is
+    # _load's input fan-out for degenerate single-row-group test
+    # parquet (see __spark_entry__._load), absent at production layouts.
+    "url_filters": [
+        ("Exchange hashpartitioning",
+         "pure per-row predicates must not key-shuffle"),
+    ],
+    "url_transforms": [
+        ("Exchange hashpartitioning",
+         "pure per-row transforms must not key-shuffle"),
+    ],
     "extract_title": [
         ("SortMergeJoin", "tiny synth join must broadcast, not SMJ"),
     ],
@@ -87,6 +103,11 @@ FORBIDDEN = {
     # through one task
     "frontier_slice": [
         ("Window", "no partition-less window over the frontier"),
+    ],
+    # per-doc top-k needs no cross-row state: the kernel plan must not
+    # key-shuffle (the old explode → hash-agg → window shape paid two)
+    "keywords_topk": [
+        ("Exchange hashpartitioning", "per-doc kernel must not key-shuffle"),
     ],
 }
 

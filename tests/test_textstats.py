@@ -285,3 +285,53 @@ def test_langid_batch_kernel_matches_column_algebra(spark):
     assert len(got) == n + 4
     for r in got:
         assert (r.k1, r.k3, r.kb) == (r.r1, r.r3, r.rb), r
+
+def test_keywords_kernel_matches_declarative(spark):
+    """The Arrow keywords/keyphrases kernel (keywords_phrases_batch)
+    must be BIT-EXACT with the declarative keywords_topk(10) ∪
+    keyphrases_topk(8, (2,3)) union the driver query used to run —
+    same grams, tf, ranks, and HALF_UP-rounded score_x1e9 — across
+    testdata docs plus hand-built edge cases (ties broken term-asc,
+    capitalized proper nouns passing the gate, suffix-gated words,
+    short/empty docs, phrase edge stopwords, len<=3 phrases)."""
+    import pyspark.sql.functions as F
+    from horseman_article_parser_spark.functions.textstats import (
+        keyphrases_topk,
+        keywords_phrases_batch,
+        keywords_topk,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha Gamma beta alpha of the to in"),
+            (2, ""),
+            (3, "x"),  # single short token: no terms, no phrases
+            (4, "tie tie toe toe moon moon"),  # tf ties -> term asc
+            (5, "quickly running speeded feeling ceiling seed"),
+            (6, "the market the report a summit of data"),
+            (7, "storm Storm STORM sTorm storm"),
+            (8, "ab cd ab cd ab cd"),  # phrases len<=3 dropped ("ab cd" is 5)
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for d in (edge, docs.select("doc_id", "text")):
+        kws = keywords_topk(d, k=10).select(
+            "doc_id", F.lit("term").alias("kind"),
+            F.col("term").alias("gram"), "tf", "rank",
+            F.lit(None).cast("long").alias("score_x1e9"),
+        )
+        phr = keyphrases_topk(d, k=8, n=(2, 3)).select(
+            "doc_id", F.lit("phrase").alias("kind"),
+            F.col("phrase").alias("gram"), "tf", "rank",
+            F.round(F.col("score") * 1_000_000_000).cast("long")
+            .alias("score_x1e9"),
+        )
+        want = kws.unionByName(phr)
+        got = keywords_phrases_batch(d, k_terms=10, k_phrases=8,
+                                     lengths=(2, 3))
+        assert got.schema == want.schema or [
+            (f.name, f.dataType) for f in got.schema
+        ] == [(f.name, f.dataType) for f in want.schema]
+        diff = want.exceptAll(got).unionAll(got.exceptAll(want))
+        assert diff.count() == 0, diff.limit(20).collect()
