@@ -271,7 +271,7 @@ def q_url_transforms(spark, sf_dir):
     re-encode chain on a by-construction data: URL."""
     from horseman_article_parser_spark.functions.urls import (
         apply_url_rewrites_col,
-        sanitize_data_url_cols,
+        with_sanitized_data_url,
     )
 
     fr = _frontier(_prep(spark), sf_dir)
@@ -299,21 +299,25 @@ def q_url_transforms(spark, sf_dir):
         F.lit("data:text/html;base64,"), F.base64(F.encode(embedded, "UTF-8"))
     )
     fr = fr.withColumn("_du", data_url)
-    data_html, data_url_out = sanitize_data_url_cols(F.col("_du"),
-                                                     js_enabled=False)
+    # staged-projection sanitize: each regexp/base64 intermediate is
+    # evaluated once per row (see with_sanitized_data_url docstring)
+    fr = with_sanitized_data_url(fr, "_du", "data_html", "data_url",
+                                 js_enabled=False)
     # amp_q1/amp_q2 exercise the query-string MERGE branch (the canonical
-    # form carries ?q=1, so '&amp=1' / '&output=amp' must append)
-    amp_q = amp_candidates_udf(canonicalize_url_udf(raw))
+    # form carries ?q=1, so '&amp=1' / '&output=amp' must append).
+    # `canonical` is staged so the canonicalize pandas UDF runs once and
+    # the amp UDF consumes the materialized column.
+    fr = fr.withColumn("canonical", canonicalize_url_udf(raw))
+    amp_q = amp_candidates_udf(F.col("canonical"))
     return fr.select(
-        "seq", "url",
-        canonicalize_url_udf(raw).alias("canonical"),
+        "seq", "url", "canonical",
         apply_url_rewrites_col("url", rules).alias("rewritten"),
         F.element_at(amp, 1).alias("amp_1"),
         F.element_at(amp, 2).alias("amp_2"),
         F.element_at(amp_q, 3).alias("amp_q1"),
         F.element_at(amp_q, 4).alias("amp_q2"),
-        data_html.alias("data_html"),
-        data_url_out.alias("data_url"),
+        "data_html",
+        "data_url",
     )
 
 

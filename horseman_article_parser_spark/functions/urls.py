@@ -30,7 +30,7 @@ from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
@@ -342,3 +342,75 @@ def sanitize_data_url_cols(url: Column | str, js_enabled: bool = False
         decoded_ok, F.concat(F.lit("data:text/html;base64,"), b64)
     ).otherwise(u)
     return sanitized, new_url
+
+
+def with_sanitized_data_url(
+    df: DataFrame,
+    url: str,
+    html_out: str,
+    url_out: str,
+    js_enabled: bool = False,
+) -> DataFrame:
+    """Staged-projection form of :func:`sanitize_data_url_cols` — same
+    semantics (bit-for-bit; the unit suite runs both forms), different
+    physical shape.
+
+    The single-expression form re-inlines `html` (a regexp/base64 chain)
+    into every consumer: `decoded_ok`, the script-strip, the re-encode,
+    and the fallback branch each embed a full copy, and codegen's
+    common-subexpression elimination can't hoist them because they sit
+    under different `when` branches (conditional evaluation). At sf1
+    that made the sanitize chain ~90% of the url_transforms bill. Here
+    each expensive intermediate is an aliased column in its own Project;
+    CollapseProject keeps a Project boundary whenever a non-cheap alias
+    is referenced more than once (SPARK-36718), so every regexp/base64
+    runs exactly once per row — still one WholeStageCodegen span, no
+    exchange, no UDF."""
+    u = F.col(url)
+    comma = F.instr(u, ",")
+    payload = F.substr(u, comma + 1)
+    pct = F.call_function(
+        "try_url_decode", F.replace(payload, F.lit("+"), F.lit("%2B"))
+    )
+    b64_clean = F.split(
+        F.translate(
+            F.regexp_replace(payload, r"[^A-Za-z0-9+/=_-]", ""), "-_", "+/"
+        ),
+        "=",
+    ).getItem(0)
+    df = df.withColumn("_sdu_clean", b64_clean)
+    n = F.length(F.col("_sdu_clean"))
+    df = df.withColumn(
+        "_sdu_kept",
+        F.when(n % 4 == 1, F.col("_sdu_clean").substr(F.lit(1), n - 1))
+        .otherwise(F.col("_sdu_clean")),
+    )
+    kept = F.col("_sdu_kept")
+    b64_pad = F.rpad(kept, ((F.length(kept) + 3) / 4).cast("int") * 4, "=")
+    b64_html = F.call_function(
+        "make_valid_utf8",
+        F.try_to_binary(b64_pad, F.lit("base64")).cast("string"),
+    )
+    meta = F.substring(u, 1, comma - 1)
+    df = df.withColumn(
+        "_sdu_html", F.when(meta.contains(";base64"), b64_html).otherwise(pct)
+    )
+    html = F.col("_sdu_html")
+    sanitized_core = (
+        html
+        if js_enabled
+        else F.regexp_replace(html, r"(?i)<script[^>]*>[\s\S]*?</script>", "")
+    )
+    df = df.withColumn(
+        html_out, F.when(html.isNotNull(), sanitized_core).otherwise(F.lit(""))
+    )
+    b64 = F.regexp_replace(
+        F.base64(F.encode(F.col(html_out), "UTF-8")), r"[\r\n]", ""
+    )
+    df = df.withColumn(
+        url_out,
+        F.when(
+            html.isNotNull(), F.concat(F.lit("data:text/html;base64,"), b64)
+        ).otherwise(u),
+    )
+    return df.drop("_sdu_clean", "_sdu_kept", "_sdu_html")

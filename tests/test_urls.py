@@ -147,3 +147,41 @@ def test_sanitize_data_url_malformed_payloads_node_parity(spark):
     assert rows[4].h == "" and rows[4].nu == bad_pct
     assert rows[5].h == "<p>fine</p>"
     assert rows[5].nu == good  # valid payload round-trips byte-identically
+
+
+def test_with_sanitized_data_url_matches_column_form(spark):
+    """The staged-projection form (with_sanitized_data_url — one
+    evaluation per expensive intermediate; the sf1 hot path) must be
+    bit-for-bit identical to the single-expression column form on every
+    payload class: valid base64, base64url, lenient-decode garbage,
+    invalid UTF-8, percent-encoded, and broken percent."""
+    import base64
+
+    from horseman_article_parser_spark.functions.urls import (
+        sanitize_data_url_cols,
+        with_sanitized_data_url,
+    )
+
+    payloads = [
+        "data:text/html;base64,"
+        + base64.b64encode(
+            b"<html><script>x()</script><p>hi</p></html>"
+        ).decode(),
+        "data:text/html;base64,"
+        + base64.urlsafe_b64encode(b"<p>a?b></p>").decode(),
+        "data:text/html;base64,!!!not-base64!!!",
+        "data:text/html;base64,/w==",
+        "data:text/html,%3Cp%3EHi%3C%2Fp%3E",
+        "data:text/html,%ZZbroken",
+        "data:text/html;base64,A-B_C",
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], ["u"])
+    for js in (False, True):
+        h, nu = sanitize_data_url_cols("u", js_enabled=js)
+        col_rows = df.select(h.alias("h"), nu.alias("nu")).collect()
+        staged_rows = (
+            with_sanitized_data_url(df, "u", "h", "nu", js_enabled=js)
+            .select("h", "nu")
+            .collect()
+        )
+        assert col_rows == staged_rows
