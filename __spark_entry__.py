@@ -695,12 +695,17 @@ def q_text_quality(spark, sf_dir):
     queries so each SURVEY ID keeps a driver-checked oracle inside the
     correctness window."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    rcols = TS.readability_cols(F.col("text"))
-    qcols = TS.quality_cols(F.col("text"))
+    # stage the token array once: readability + quality + n_the all
+    # consume the same tokens_col; inlining it re-split the text ~9×
+    # per row (one per stopword count + word counts)
+    docs = docs.withColumn("_toks", TS.tokens_col("text"))
+    toks = F.col("_toks")
+    rcols = TS.readability_cols(F.col("text"), tokens=toks)
+    qcols = TS.quality_cols(F.col("text"), tokens=toks)
     return docs.select(
         "doc_id",
         *[c.alias(n) for n, c in rcols.items()],
-        TS.occurrences_col("text", "the").alias("n_the"),
+        TS.occurrences_col("text", "the", tokens=toks).alias("n_the"),
         TS.bpe_token_count_col("text").alias("n_bpe_tokens"),
         qcols["stopword_hits"].alias("stopword_hits"),
         qcols["alpha_ratio_x1e4"].alias("alpha_ratio_x1e4"),
@@ -1197,10 +1202,12 @@ def q_sentiment(spark, sf_dir):
     aggregation path's score as `score_join` — both implementations
     driver-checked in one row, and their agreement is itself pinned."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    # materialize the token array once (see sentiment_cols docstring)
-    toked = docs.withColumn("_toks", TS.tokens_col("text"))
-    cols = TS.sentiment_cols(F.col("_toks"), pretokenized=True)
-    inline = toked.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    # staged projection: score/comparative evaluated once per row (see
+    # with_sentiment docstring — the select-three-Columns form paid ~4
+    # copies of the occurrence sum)
+    inline = TS.with_sentiment(docs).select(
+        "doc_id", "sentiment_score", "comparative_x1e6", "sentiment_label"
+    )
     joined = TS.sentiment_via_join(docs).select(
         "doc_id", F.col("sentiment_score").alias("score_join")
     )

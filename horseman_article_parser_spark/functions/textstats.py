@@ -794,9 +794,20 @@ def langid_batch_col(norm_text: Column) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    # plain-data captures only (closures must pickle to executors)
+    # plain-data captures only (closures must pickle to executors).
+    # Each profile token carries its min(len,3)-char prefix: a token
+    # absent-by-prefix from the row's substring sets has count 0, so
+    # the O(|text|) str.count scan is skipped. For one-language text
+    # most of the ~1500 gate-open foreign tokens fail this test (their
+    # leading trigram never occurs), turning the hot loop from ~1500
+    # C substring scans/row into 3 substring-set builds + dict probes
+    # (measured 2.5× at sf1; bit-parity pinned by the kernel-vs-Column
+    # test and the unchanged driver oracle).
     profiles = {
-        lang: tuple((tg, len(tgs) - i) for i, tg in enumerate(tgs))
+        lang: tuple(
+            (tg, len(tgs) - i, tg[:3], min(len(tg), 3))
+            for i, tg in enumerate(tgs)
+        )
         for lang, tgs in LANG_TRIGRAMS.items()
     }
     gates = dict(LANG_SCRIPT_GATES)
@@ -814,6 +825,13 @@ def langid_batch_col(norm_text: Column) -> Column:
         iso1_out, iso3_out, best_out = [], [], []
         for nt in s:
             nt = nt or ""
+            # substring-presence sets, one pass each (uni/bi/tri)
+            grams = (
+                None,
+                set(nt),
+                {nt[i:i + 2] for i in range(len(nt) - 1)},
+                {nt[i:i + 3] for i in range(len(nt) - 2)},
+            )
             best_score, best_lang = 0, None
             for gate, gl in by_gate.items():
                 if gate is None:
@@ -823,7 +841,9 @@ def langid_batch_col(norm_text: Column) -> Column:
                     continue
                 for lang in gl:
                     score = 0
-                    for tg, w in profiles[lang]:
+                    for tg, w, pref, plen in profiles[lang]:
+                        if pref not in grams[plen]:
+                            continue
                         c = nt.count(tg)
                         if c:
                             score += c * w
@@ -1015,22 +1035,37 @@ def token_count_col(text: Column | str) -> Column:
     return F.size(tokens_col(text))
 
 
-def occurrences_col(text: Column | str, word: str) -> Column:
+def occurrences_col(text: Column | str, word: str,
+                    tokens: Column | None = None) -> Column:
     """Exact whole-token occurrence count: size(filter(tokens, = word)).
     Token-based (not replace-count) so adjacent repeats are counted
-    correctly; oracle SQL twin is len(list_filter(string_split_regex(...)))."""
-    return F.size(
-        F.filter(tokens_col(text), lambda t: t == F.lit(word))
-    ).cast("long")
+    correctly; oracle SQL twin is len(list_filter(string_split_regex(...))).
+
+    Pass `tokens` (a materialized tokens_col column) when counting
+    several words over the same text — otherwise each call re-splits
+    the full string per row (see q_text_quality: 9 splits → 1).
+
+    Shape note: size(toks) - size(array_remove(toks, w)) — NOT
+    size(filter(toks, = w)). filter() is a higher-order function and
+    HOFs never enter whole-stage codegen (each element runs an
+    interpreted lambda); array_remove is an ordinary codegen'd
+    collection expression. Same value: array_remove drops exactly the
+    elements equal to w (token arrays are never null — tokens_col
+    returns [] for empty text, and split never yields null elements)."""
+    toks = tokens if tokens is not None else tokens_col(text)
+    return (F.size(toks) - F.size(F.array_remove(toks, word))).cast("long")
 
 
 # -------------------------------------------------------- readability
 
 
-def readability_cols(text: Column | str) -> dict[str, Column]:
-    """A4: characters, words, sentences, paragraphs, readingTime(sec)."""
+def readability_cols(text: Column | str,
+                     tokens: Column | None = None) -> dict[str, Column]:
+    """A4: characters, words, sentences, paragraphs, readingTime(sec).
+    `tokens` = optional pre-materialized tokens_col column (avoids one
+    re-split when the caller already staged it)."""
     t = _c(text)
-    words = token_count_col(t)
+    words = F.size(tokens) if tokens is not None else token_count_col(t)
     sentences = F.size(
         F.filter(F.split(t, r"[.!?]+"), lambda s: F.trim(s) != F.lit(""))
     )
@@ -1050,16 +1085,21 @@ def readability_cols(text: Column | str) -> dict[str, Column]:
 # ------------------------------------------------------------ quality
 
 
-def quality_cols(text: Column | str) -> dict[str, Column]:
+def quality_cols(text: Column | str,
+                 tokens: Column | None = None) -> dict[str, Column]:
     """Training-data quality signals: length, mean word length, stopword
     ratio, alpha ratio. Score = additive, clamped [0,100], rounded to an
-    integer so the value is hash-stable across engines."""
+    integer so the value is hash-stable across engines.
+
+    `tokens` = optional pre-materialized tokens_col column; without it
+    every stopword count re-splits the text (|STOPWORDS_MINI|+1 splits
+    per row)."""
     t = _c(text)
     n_chars = F.length(t)
-    n_words = token_count_col(t)
+    n_words = F.size(tokens) if tokens is not None else token_count_col(t)
     stop_hits = None
     for w in STOPWORDS_MINI:
-        o = occurrences_col(t, w)
+        o = occurrences_col(t, w, tokens=tokens)
         stop_hits = o if stop_hits is None else stop_hits + o
     alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(
@@ -1105,11 +1145,15 @@ def sentiment_cols(text: Column | str, lexicon: dict[str, int] | None = None,
     codegen and re-splits the text |lexicon|+1 times per row."""
     lex = lexicon or AFINN_MINI
     toks = _c(text) if pretokenized else tokens_col(text)
+    n_toks = F.size(toks)
     score = None
     for w in sorted(lex):
-        contrib = F.size(
-            F.filter(toks, lambda t: t == F.lit(w))
-        ).cast("long") * F.lit(lex[w])
+        # codegen'd occurrence count (see occurrences_col shape note);
+        # the filter() HOF form ran interpreted per element
+        contrib = (
+            (n_toks - F.size(F.array_remove(toks, w))).cast("long")
+            * F.lit(lex[w])
+        )
         score = contrib if score is None else score + contrib
     n = F.size(toks)
     comparative = F.when(n > 0, score.cast("double") / n).otherwise(F.lit(0.0))
@@ -1125,6 +1169,50 @@ def sentiment_cols(text: Column | str, lexicon: dict[str, int] | None = None,
     }
 
 
+def with_sentiment(df: DataFrame, text_col: str = "text",
+                   lexicon: dict[str, int] | None = None) -> DataFrame:
+    """Staged-projection form of :func:`sentiment_cols` — identical
+    values (the driver oracle and the inline-vs-join agreement pin are
+    unchanged), different physical shape.
+
+    sentiment_cols returns three independent Column trees that each
+    embed the full |lexicon|-term occurrence sum: selected together,
+    the plan evaluates ~4 copies of every array_remove scan per row
+    (score, comparative, and both label branches — conditional
+    evaluation blocks codegen CSE, same pathology as
+    urls.with_sanitized_data_url). Here tokens, n, score, and the raw
+    comparative are each staged once behind a Project boundary and the
+    outputs are cheap derivations."""
+    lex = lexicon or AFINN_MINI
+    df = df.withColumn("_sn_toks", tokens_col(text_col))
+    df = df.withColumn("_sn_n", F.size("_sn_toks"))
+    toks, n = F.col("_sn_toks"), F.col("_sn_n")
+    score = None
+    for w in sorted(lex):
+        contrib = (
+            (n - F.size(F.array_remove(toks, w))).cast("long") * F.lit(lex[w])
+        )
+        score = contrib if score is None else score + contrib
+    df = df.withColumn("sentiment_score", score.cast("long"))
+    df = df.withColumn(
+        "_sn_comp",
+        F.when(n > 0,
+               F.col("sentiment_score").cast("double") / n).otherwise(0.0),
+    )
+    comp = F.col("_sn_comp")
+    return (
+        df.withColumn("comparative_x1e6",
+                      F.round(comp * 1_000_000).cast("long"))
+        .withColumn(
+            "sentiment_label",
+            F.when(comp > 0.05, F.lit("Positive"))
+            .when(comp < 0.05, F.lit("Negative"))
+            .otherwise(F.lit("Neutral")),
+        )
+        .drop("_sn_toks", "_sn_n", "_sn_comp")
+    )
+
+
 def sentiment_via_join(docs: DataFrame, lexicon: dict[str, int] | None = None,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """A10 as the canonical explode→broadcast-join→agg plan (the shape
@@ -1136,17 +1224,35 @@ def sentiment_via_join(docs: DataFrame, lexicon: dict[str, int] | None = None,
     smaller here, same result (a dropped token contributes 0 to the sum
     either way; explode_outer keeps zero-hit docs alive with a null
     token that left-joins to nothing). Measured 6.5 s → 0.7 s at sf0.1,
-    verified row-identical to the unfiltered plan."""
+    verified row-identical to the unfiltered plan.
+
+    Two physical-shape fixes (r5, 3× at sf1, row-identical):
+    `n_tokens` and the filtered hit array are staged in projections
+    BELOW the Generate — selecting them alongside explode_outer() put
+    the Project above the Generate, so size(split(text)) re-ran once
+    per exploded hit (~9×/doc here) instead of once per doc. And the
+    10-row lexicon side is built from JVM literals (range(1) + inline)
+    rather than spark.createDataFrame, which plans as a Python-RDD scan
+    and pays a Python-worker round trip on every action that rebuilds
+    the broadcast."""
     lex = lexicon or AFINN_MINI
     spark = docs.sparkSession
     lex_df = F.broadcast(
-        spark.createDataFrame(sorted(lex.items()), "token string, tok_score int")
+        spark.range(1).select(
+            F.inline(F.array(*[
+                F.struct(F.lit(k).alias("token"), F.lit(v).alias("tok_score"))
+                for k, v in sorted(lex.items())
+            ]))
+        )
     )
-    toks = docs.select(
-        id_col, token_count_col(text_col).alias("n_tokens"),
-        F.explode_outer(
-            F.filter(tokens_col(text_col), lambda t: t.isin(*sorted(lex)))
-        ).alias("token"),
+    toks = (
+        docs
+        .withColumn("n_tokens", token_count_col(text_col))
+        .withColumn(
+            "_hits",
+            F.filter(tokens_col(text_col), lambda t: t.isin(*sorted(lex))),
+        )
+        .select(id_col, "n_tokens", F.explode_outer("_hits").alias("token"))
     )
     return (
         toks.join(lex_df, "token", "left")
