@@ -142,9 +142,117 @@ def parse_robots_txt(robots_files: DataFrame, agent: str = "horseman",
                      host_col: str = "host",
                      text_col: str = "robots_txt") -> DataFrame:
     """Parse raw robots.txt bodies into the rules table
-    (host, rule_type, path_prefix, crawl_delay_ms) that `robots_filter`
-    and `host_budgets` consume — closing the north rule's
-    fetch-robots → evaluate chain.
+    (host, rule_type, path_prefix, crawl_delay_ms) — the Arrow-kernel
+    scale path. Robots parsing is per-body-local (lines of one host
+    never interact with another host's), so the declarative chain's
+    shape — explode → two host-keyed windows → three aggregates over a
+    shared subtree — paid ~10 shuffle stages and re-ran the source per
+    consumer for work a single map pass does: one mapInPandas, zero
+    exchanges, embarrassingly parallel over hosts. (Measured: the
+    window chain cost ~6 s warm on a 3-row config table — pure fixed
+    stage overhead; the kernel is milliseconds, and at 10^8 hosts it
+    scans once with no shuffle at all.)
+
+    Semantics are the documented RFC-9309 subset, bit-identical to
+    :func:`parse_robots_txt_plan` (the declarative twin kept for the
+    oracle/audit surface) — pinned by
+    tests/test_politeness.py::test_parse_robots_kernel_matches_plan.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    agent_l = agent.lower()
+    _num = _re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
+    _ends = _re.compile(r"^[\t ]+|[\t ]+$")
+
+    def _parse_body(body: str | None) -> list:
+        body = (body or "").replace("\r\n", "\n").replace("\r", "\n")
+        # line-level normalize: strip comments, then space/tab ends
+        # (exactly F.trim + the [\t ]-ends regexp of the plan form)
+        kv = []
+        for raw in body.split("\n"):
+            line = _ends.sub("", raw.split("#", 1)[0])
+            if not line:
+                continue
+            ci = line.find(":")
+            if ci <= 0:
+                # no colon, or empty key segment ('^([^:]+):' needs >=1
+                # non-colon char before the first colon)
+                continue
+            key = _ends.sub("", line[:ci]).lower()
+            if not key:
+                continue
+            kv.append((key, _ends.sub("", line[ci + 1:])))
+        # group segmentation: consecutive user-agent lines stack into
+        # one header; rows before the first header are dropped
+        groups, cur, prev_ua = [], None, False
+        for key, value in kv:
+            is_ua = key == "user-agent"
+            if is_ua and not prev_ua:
+                cur = {"gid": len(groups) + 1, "agents": set(), "rules": []}
+                groups.append(cur)
+            prev_ua = is_ua
+            if cur is None:
+                continue
+            cur["rules"].append((key, value))
+            if is_ua:
+                cur["agents"].add(value.lower())
+        best = None
+        for g in groups:
+            rank = (0 if agent_l in g["agents"]
+                    else 1 if "*" in g["agents"] else None)
+            if rank is not None and (
+                best is None or (rank, g["gid"]) < best[0]
+            ):
+                best = ((rank, g["gid"]), g)
+        if best is None:
+            return []
+        delays, delay_seen, paths = [], False, []
+        for key, value in best[1]["rules"]:
+            if key == "crawl-delay":
+                delay_seen = True
+                if _num.fullmatch(value):
+                    delays.append(float(value))
+            elif key in ("allow", "disallow") and value != "":
+                paths.append((key, value))
+        # min(try_cast(value AS DOUBLE)) * 1000 cast LONG (trunc-to-zero)
+        delay_ms = int(min(delays) * 1000.0) if delays else None
+        if paths:
+            return [(rt, pp, delay_ms) for rt, pp in paths]
+        if delay_seen:
+            return [("delay", None, delay_ms)]
+        return []
+
+    def kernel(batches):
+        for pdf in batches:
+            hs, rts, pps, dms = [], [], [], []
+            for host, body in zip(pdf[host_col], pdf[text_col]):
+                for rt, pp, dm in _parse_body(body):
+                    hs.append(host); rts.append(rt)
+                    pps.append(pp); dms.append(dm)
+            yield pd.DataFrame({
+                host_col: pd.array(hs, dtype="string"),
+                "rule_type": pd.array(rts, dtype="string"),
+                "path_prefix": pd.array(pps, dtype="string"),
+                "crawl_delay_ms": pd.array(dms, dtype="Int64"),
+            })
+
+    return robots_files.mapInPandas(
+        kernel,
+        f"{host_col} string, rule_type string, path_prefix string, "
+        "crawl_delay_ms long",
+    )
+
+
+def parse_robots_txt_plan(robots_files: DataFrame, agent: str = "horseman",
+                          host_col: str = "host",
+                          text_col: str = "robots_txt") -> DataFrame:
+    """Declarative twin of :func:`parse_robots_txt` (the Arrow kernel is
+    the default path — see its docstring for why). Kept because the
+    window/aggregate chain is the relational reference the kernel is
+    parity-pinned against, and it documents the host-keyed scale shape
+    if anyone needs a pure-SQL rendering.
 
     Semantics (robotstxt.org / RFC 9309 subset):
     - consecutive `User-agent:` lines stack into one group header; the

@@ -258,3 +258,47 @@ def test_parse_robots_txt_crlf_and_tabs(spark):
     kept = sorted(r.url for r in robots_filter(cand, rules).collect())
     assert kept == ["https://crlf.example/admin/public/y",
                     "https://crlf.example/story"]
+
+
+def test_parse_robots_kernel_matches_plan(spark):
+    """The Arrow-kernel parse (the default path) must be row-identical
+    to the declarative window/aggregate twin on an adversarial corpus:
+    stacked headers, agent-vs-* precedence, comments mid-line, keyless
+    and colonless lines, empty paths, delay-only groups, unparseable
+    and multiple delays, CRLF/CR endings, tab padding, empty and null
+    bodies, rules before any header."""
+    from horseman_article_parser_spark.operators.politeness import (
+        parse_robots_txt,
+        parse_robots_txt_plan,
+    )
+
+    corpus = [
+        ("h01", "User-agent: *\nDisallow: /a\nAllow: /a/b\nCrawl-delay: 1\n"),
+        ("h02", "User-agent: horseman\nDisallow: /h\n\nUser-agent: *\nDisallow: /\n"),
+        ("h03", "User-agent: a\nUser-agent: horseman\nUser-agent: b\nDisallow: /stack\n"),
+        ("h04", "Disallow: /orphan\nUser-agent: *\nDisallow: /real\n"),
+        ("h05", "User-agent: *\nDisallow:\nAllow:\n"),
+        ("h06", "User-agent: *\nCrawl-delay: 10\n"),
+        ("h07", "User-agent: *\nCrawl-delay: nope\n"),
+        ("h08", "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 0.5\nDisallow: /d\n"),
+        ("h09", "User-agent: *   # star\nDisallow: /c   # comment\n"),
+        ("h10", "User-agent: otherbot\nDisallow: /\n"),
+        ("h11", "User-agent: *\r\nDisallow:\t/crlf\t\r\nAllow: /crlf/ok\r\n"),
+        ("h12", "User-agent: *\rDisallow: /cr\r"),
+        ("h13", ":\nno colon here\n: onlycolon\nUser-agent: *\nDisallow: /x\n"),
+        ("h14", ""),
+        ("h15", None),
+        ("h16", "USER-AGENT: HORSEMAN\nDISALLOW: /Case\n\nUser-agent: *\nDisallow: /star\n"),
+        ("h17", "User-agent: *\nDisallow: /e\nUser-agent: late\nDisallow: /late\n"),
+        ("h18", "\t User-agent \t: *\nDisallow: /pad \t\n"),
+        ("h19", "User-agent: *\nAllow: /only-allow\n"),
+        ("h20", "User-agent: horseman\nCrawl-delay: 1e1\nDisallow: /sci\n"),
+    ]
+    files = spark.createDataFrame(corpus, "host string, robots_txt string")
+    key = lambda r: (r.host, r.rule_type, str(r.path_prefix),  # noqa: E731
+                     str(r.crawl_delay_ms))
+    got = sorted(parse_robots_txt(files, agent="horseman").collect(), key=key)
+    want = sorted(parse_robots_txt_plan(files, agent="horseman").collect(),
+                  key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0
