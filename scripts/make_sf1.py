@@ -15,7 +15,10 @@ Output: <repo>/.bench_sf1/sf1/*.parquet, written with multiple
 partitions per big table (a single-row-group parquet scans as ONE
 task — the r1 lesson). Idempotent: skips tables already present.
 
-Usage:  python scripts/make_sf1.py
+Usage:  python scripts/make_sf1.py [copies] [dst]
+        (defaults: 10 copies -> <repo>/.bench_sf1/sf1; e.g.
+         `python scripts/make_sf1.py 100 .bench_sf10/sf10` builds the
+         100x set for the sf10 evidence run)
 Then:   SPARK_GRAFT_SF_DIR=/root/repo/.bench_sf1/sf1 python bench.py
 """
 
@@ -26,10 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".bench_sf1", "sf1")
-COPIES = 10
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = (os.path.join(_REPO, sys.argv[2]) if len(sys.argv) > 2
+       else os.path.join(_REPO, ".bench_sf1", "sf1"))
 
 # (table, key shifts {col: stride}, text col or None)
 SPECS = [
