@@ -195,13 +195,26 @@ def main():
     # regression fails the bench loudly instead of being footnoted.
     # The pin is calibrated for the recorded sf0.1 protocol — scale
     # runs (sf1 evidence) are exempt, their check is linearity.
-    LANGID_PIN_SEC = 5.8
-    if "sf0.1" in SF_DIR and qtimes.get("langid", 0) > LANGID_PIN_SEC:
-        raise AssertionError(
-            f"langid cost pin violated: best-of-2 {qtimes['langid']}s "
-            f"> {LANGID_PIN_SEC}s — reduce per-row scoring cost before "
-            "growing language breadth"
-        )
+    # pin ≈ 3-4× the r5 recorded best-of-2 (BENCH_sf01_r05_final.json) —
+    # generous for this VM's steal phases, tight enough that the r4/r5
+    # failure classes (interpreted-HOF counting, re-inlined
+    # subexpressions, the robots window chain) cannot silently return.
+    COST_PINS_SEC = {
+        "langid": 5.8,          # r4 pin, kept (best 0.80 at 187 langs)
+        "robots_filter": 8.0,   # window-chain regression hit 15.9
+        "sentiment": 6.0,       # HOF/4-copy regression hit ~8+
+        "text_quality": 5.0,
+        "url_transforms": 7.0,
+        "simhash": 6.0,
+    }
+    if "sf0.1" in SF_DIR:
+        for qname, pin in COST_PINS_SEC.items():
+            if qtimes.get(qname, 0) > pin:
+                raise AssertionError(
+                    f"{qname} cost pin violated: best-of-2 "
+                    f"{qtimes[qname]}s > {pin}s — fix the plan shape "
+                    "before shipping (see BENCH.md r5 notes)"
+                )
 
     # auxiliary scale runs (e.g. the sf1 evidence run) time the query
     # suite only; the crawl section is sf-independent and covered by
