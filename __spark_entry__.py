@@ -439,12 +439,18 @@ def _synth_pages(spark, sf_dir):
         F.lit('">next</a><a href="https://ext.com/e'), d, F.lit('">ext</a>'),
         img_html, table_html, dl_html, F.lit("</article></body></html>"),
     )
-    pages = docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id").select(
-        "doc_id", "url", html.alias("html")
+    # repartition BEFORE synthesizing html: the shuffle then carries the
+    # narrow source columns (text ~300 B) instead of the ~1.5 KB built
+    # page — at sf10 that is the difference between a 1.8 GB and a
+    # 7.5 GB exchange feeding the Arrow extract pass. The explicit
+    # repartition itself stays: the tiny join otherwise collapses to a
+    # few partitions and starves the kernel.
+    pages = (
+        docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id")
+        .select("doc_id", "url", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "url", html.alias("html"))
     )
-    # narrow rows; explicit repartition so the Arrow extract pass uses
-    # every local worker even when the tiny join collapses to few parts
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
     return extract_articles(pages)
 
 
