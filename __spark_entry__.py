@@ -284,7 +284,6 @@ def q_url_transforms(spark, sf_dir):
         ("https://src0.example.com/", "https://mirror0.example.net/"),
         ("https://src1.example.com/en/", "https://src1.example.com/english/"),
     ]
-    amp = amp_candidates_udf(F.col("url"))
     # the sanitized payload must exceed one 76-char base64 line (57
     # input bytes) so the oracle pins the CRLF-chunking fix in
     # sanitize_data_url_cols (Spark's base64 MIME-wraps long output)
@@ -305,17 +304,22 @@ def q_url_transforms(spark, sf_dir):
                                  js_enabled=False)
     # amp_q1/amp_q2 exercise the query-string MERGE branch (the canonical
     # form carries ?q=1, so '&amp=1' / '&output=amp' must append).
-    # `canonical` is staged so the canonicalize pandas UDF runs once and
-    # the amp UDF consumes the materialized column.
-    fr = fr.withColumn("canonical", canonicalize_url_udf(raw))
-    amp_q = amp_candidates_udf(F.col("canonical"))
+    # r6: canonicalize + both amp passes run as ONE fused struct UDF —
+    # one ArrowEvalPython node instead of three stacked ones (guide
+    # §4.1); identical values (same scalar kernels inside).
+    from horseman_article_parser_spark.functions.urls import (
+        url_transform_struct_udf,
+    )
+
+    fr = fr.withColumn("_ut", url_transform_struct_udf(F.col("url"), raw))
+    ut = F.col("_ut")
     return fr.select(
-        "seq", "url", "canonical",
+        "seq", "url", ut["canonical"].alias("canonical"),
         apply_url_rewrites_col("url", rules).alias("rewritten"),
-        F.element_at(amp, 1).alias("amp_1"),
-        F.element_at(amp, 2).alias("amp_2"),
-        F.element_at(amp_q, 3).alias("amp_q1"),
-        F.element_at(amp_q, 4).alias("amp_q2"),
+        F.element_at(ut["amp"], 1).alias("amp_1"),
+        F.element_at(ut["amp"], 2).alias("amp_2"),
+        F.element_at(ut["amp_q"], 3).alias("amp_q1"),
+        F.element_at(ut["amp_q"], 4).alias("amp_q2"),
         "data_html",
         "data_url",
     )
@@ -406,10 +410,29 @@ def q_domain_rules_join(spark, sf_dir):
 # -- extraction --------------------------------------------------------------
 
 
-def _synth_pages(spark, sf_dir):
+def _synth_pages(spark, sf_dir, fields=None, extra_cols=()):
+    """Synthesized page table → extracted articles.
+
+    r6: the former `docs ⋈ frontier` self-join only re-attached a `url`
+    that is itself a pure expression of `documents` columns (source,
+    lang, doc_id) — the identical expression _frontier builds. Inlining
+    it removes one scan of `documents`, one broadcast join and two
+    exchanges per extract query (guide §2.4: remove shuffles outright;
+    value-identical by construction, oracle hashes unchanged). The
+    explicit repartition is gone with the join: _load's fan-out already
+    spreads the degenerate single-row-group scan, and at production
+    layouts the scan splits natively.
+
+    `fields` prunes the kernel (see extract_article); `extra_cols` are
+    additional Column expressions over `documents` carried through the
+    kernel untouched (e.g. the excerpt for q_extract_meta)."""
     docs = _load(spark, sf_dir, "documents")
-    fr = _frontier(spark, sf_dir)
     d = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/story-"),
+        (F.col("doc_id") % 400).cast("string"),
+    )
     img_html = F.when(
         F.col("doc_id") % 2 == 0,
         F.concat(
@@ -439,19 +462,14 @@ def _synth_pages(spark, sf_dir):
         F.lit('">next</a><a href="https://ext.com/e'), d, F.lit('">ext</a>'),
         img_html, table_html, dl_html, F.lit("</article></body></html>"),
     )
-    # repartition BEFORE synthesizing html: the shuffle then carries the
-    # narrow source columns (text ~300 B) instead of the ~1.5 KB built
-    # page — at sf10 that is the difference between a 1.8 GB and a
-    # 7.5 GB exchange feeding the Arrow extract pass. The explicit
-    # repartition itself stays: the tiny join otherwise collapses to a
-    # few partitions and starves the kernel.
-    pages = (
-        docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id")
-        .select("doc_id", "url", "lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "url", html.alias("html"))
+    extras = [c.alias(n) for n, c in extra_cols]
+    pages = docs.select(
+        "doc_id", *extras, url.alias("url"), html.alias("html")
     )
-    return extract_articles(pages)
+    return extract_articles(
+        pages, fields=fields,
+        output_cols=["doc_id", *[n for n, _ in extra_cols]],
+    )
 
 
 def q_extract_title(spark, sf_dir):
@@ -464,7 +482,8 @@ def q_extract_title(spark, sf_dir):
         _TITLE_SUFFIX_2,
     )
 
-    arts = _synth_pages(_prep(spark), sf_dir)
+    arts = _synth_pages(_prep(spark), sf_dir,
+                        fields=frozenset({"title", "doc_title"}))
     d = F.col("doc_id").cast("string")
     raw2 = F.concat(
         F.lit("Doc "), d,
@@ -484,7 +503,7 @@ def q_extract_title(spark, sf_dir):
 
 
 def q_extract_links(spark, sf_dir):
-    arts = _synth_pages(_prep(spark), sf_dir)
+    arts = _synth_pages(_prep(spark), sf_dir, fields=frozenset({"links"}))
     return arts.select(
         "doc_id",
         F.size("article.links").alias("n_links"),
@@ -521,10 +540,14 @@ def q_extract_jsonld(spark, sf_dir):
     pages = docs.select(
         "doc_id", F.lit("https://x.example/a").alias("url"), html.alias("html")
     )
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    # r6: no extra repartition — _load already fanned the scan out; a
+    # second round-robin exchange of the built pages was pure cost
     from horseman_article_parser_spark.operators.extract import extract_articles
 
-    arts = extract_articles(pages)
+    arts = extract_articles(
+        pages, output_cols=["doc_id"],
+        fields=frozenset({"headline", "n_jsonld_articles", "jsonld_articles"}),
+    )
     return arts.select(
         "doc_id",
         F.col("article.headline").alias("headline"),
@@ -538,19 +561,23 @@ def q_extract_meta(spark, sf_dir):
     derivations of the page head/body; excerpt runs over the document
     text joined back by id)."""
     spark = _prep(spark)
-    arts = _synth_pages(spark, sf_dir)
-    docs = _load(spark, sf_dir, "documents").select(
-        "doc_id", TS.excerpt_col("text").alias("excerpt")
+    # r6: the excerpt is Column algebra over `documents.text` — carrying
+    # it through the kernel replaces the former second scan + self-join
+    # on doc_id (one scan, zero joins; identical rows)
+    arts = _synth_pages(
+        spark, sf_dir, fields=frozenset({"meta", "description"}),
+        extra_cols=(("excerpt", TS.excerpt_col("text")),),
     )
     return arts.select(
         "doc_id",
         F.size("article.meta").alias("n_meta"),
         F.col("article.description").alias("description"),
-    ).join(docs, "doc_id")
+        "excerpt",
+    )
 
 
 def q_extract_images(spark, sf_dir):
-    arts = _synth_pages(_prep(spark), sf_dir)
+    arts = _synth_pages(_prep(spark), sf_dir, fields=frozenset({"images"}))
     img1 = F.try_element_at(F.col("article.images"), F.lit(1))
     return arts.select(
         "doc_id",
@@ -662,7 +689,10 @@ def q_extract_structured(spark, sf_dir):
     per page (structuredData.js:132-258) — all three parses run over
     the SAME synthesized article DOM, so the whole structured-data
     surface is one oracle-checked scan."""
-    arts = _synth_pages(_prep(spark), sf_dir)
+    arts = _synth_pages(
+        _prep(spark), sf_dir,
+        fields=frozenset({"tables", "figures", "definitions"}),
+    )
     t1 = F.try_element_at(F.col("article.tables"), F.lit(1))
     r2 = F.try_element_at(t1["rows"], F.lit(2))
     f1 = F.try_element_at(F.col("article.figures"), F.lit(1))

@@ -29,13 +29,23 @@ def clean_ws(value: str | None) -> str | None:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "_text_parts")
+    __slots__ = ("tag", "attrs", "children", "parent", "_text_parts",
+                 "pos", "end", "_all", "_by_tag")
 
     def __init__(self, tag: str, attrs: dict[str, str | None], parent: "Element | None"):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Element | str] = []
         self.parent = parent
+        # preorder position index, filled by _TreeBuilder: `pos` is this
+        # element's 1-based preorder number, `end` the last descendant's;
+        # `_all` the document-order element list (element pos i lives at
+        # _all[i-1]), `_by_tag` tag → [elements, doc order]. Descendant
+        # queries become slice/bisect lookups instead of tree walks.
+        self.pos = 0
+        self.end = -1
+        self._all: list[Element] | None = None
+        self._by_tag: dict[str, list[Element]] | None = None
 
     # ------------------------------------------------------------ query
 
@@ -48,6 +58,11 @@ class Element:
 
     def iter(self):
         """Depth-first descendants (document order), self excluded."""
+        if self._all is not None and self.end >= self.pos:
+            return iter(self._all[self.pos : self.end])
+        return self._iter_walk()
+
+    def _iter_walk(self):
         stack = list(reversed(self.children))
         while stack:
             node = stack.pop()
@@ -56,12 +71,38 @@ class Element:
                 stack.extend(reversed(node.children))
 
     def find_all(self, *tags: str) -> list["Element"]:
+        bt = self._by_tag
+        if bt is not None and self.end >= self.pos:
+            lo, hi = self.pos, self.end
+            if len(tags) == 1:
+                cand = bt.get(tags[0])
+                if not cand:
+                    return []
+                if lo == 0 and hi >= cand[-1].pos:
+                    return list(cand)  # whole-document query
+                return [e for e in cand if lo < e.pos <= hi]
+            out = [
+                e for t in tags for e in bt.get(t, ()) if lo < e.pos <= hi
+            ]
+            out.sort(key=lambda e: e.pos)
+            return out
         want = set(tags)
-        return [el for el in self.iter() if el.tag in want]
+        return [el for el in self._iter_walk() if el.tag in want]
 
     def find(self, *tags: str) -> "Element | None":
+        bt = self._by_tag
+        if bt is not None and self.end >= self.pos:
+            lo, hi = self.pos, self.end
+            best: Element | None = None
+            for t in tags:
+                for e in bt.get(t, ()):
+                    if e.pos > lo:
+                        if e.pos <= hi and (best is None or e.pos < best.pos):
+                            best = e
+                        break
+            return best
         want = set(tags)
-        for el in self.iter():
+        for el in self._iter_walk():
             if el.tag in want:
                 return el
         return None
@@ -118,25 +159,45 @@ class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Element("#document", {}, None)
+        self._all: list[Element] = []
+        self._by_tag: dict[str, list[Element]] = {}
+        self.root._all = self._all
+        self.root._by_tag = self._by_tag
         self.stack = [self.root]
         self._raw_text_tag: str | None = None
 
+    def _new(self, tag, attrs) -> Element:
+        parent = self.stack[-1]
+        el = Element(tag, dict(attrs), parent)
+        self._all.append(el)
+        el.pos = len(self._all)
+        el._all = self._all
+        el._by_tag = self._by_tag
+        self._by_tag.setdefault(tag, []).append(el)
+        parent.children.append(el)
+        return el
+
     def handle_starttag(self, tag, attrs):
-        el = Element(tag, dict(attrs), self.stack[-1])
-        self.stack[-1].children.append(el)
+        el = self._new(tag, attrs)
         if tag not in _VOID:
             self.stack.append(el)
             if tag in ("script", "style"):
                 self._raw_text_tag = tag
+        else:
+            el.end = el.pos
 
     def handle_startendtag(self, tag, attrs):
-        self.stack[-1].children.append(Element(tag, dict(attrs), self.stack[-1]))
+        el = self._new(tag, attrs)
+        el.end = el.pos
 
     def handle_endtag(self, tag):
         if tag in _VOID:
             return
+        n = len(self._all)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
+                for closed in self.stack[i:]:
+                    closed.end = n
                 del self.stack[i:]
                 break
         if tag in ("script", "style"):
@@ -145,6 +206,11 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self.stack[-1].children.append(data)
+
+    def finalize(self):
+        n = len(self._all)
+        for el in self.stack:
+            el.end = n
 
 
 def to_html(node: "Element | str") -> str:
@@ -175,6 +241,7 @@ def parse_html(html: str) -> Element:
         builder.close()
     except Exception:
         pass  # lenient: keep whatever tree was built
+    builder.finalize()
     return builder.root
 
 

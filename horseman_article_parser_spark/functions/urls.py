@@ -32,7 +32,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -234,6 +234,39 @@ def amp_candidates_udf(urls: Iterator[pd.Series]) -> Iterator[pd.Series]:
     (/root/reference/index.js:325-334)."""
     for s in urls:
         yield s.map(amp_candidates, na_action="ignore")
+
+
+_URL_TRANSFORM_STRUCT = StructType(
+    [
+        StructField("canonical", StringType()),
+        StructField("amp", ArrayType(StringType())),
+        StructField("amp_q", ArrayType(StringType())),
+    ]
+)
+
+
+@pandas_udf(_URL_TRANSFORM_STRUCT)
+def url_transform_struct_udf(
+    it: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.DataFrame]:
+    """Fused Arrow kernel for q_url_transforms: canonicalize(raw) +
+    amp_candidates(url) + amp_candidates(canonical) in ONE Python pass.
+
+    Value-identical to chaining canonicalize_url_udf and two
+    amp_candidates_udf calls, but the chain plans as 2-3 stacked
+    ArrowEvalPython nodes (amp_q consumes the canonical UDF's output,
+    so it can never share a node) — three JVM→Python→JVM crossings of
+    the same rows. One struct-returning UDF pays the boundary once
+    (guide §4.1)."""
+    for url_s, raw_s in it:
+        canon = raw_s.map(canonicalize_url, na_action="ignore")
+        yield pd.DataFrame(
+            {
+                "canonical": canon,
+                "amp": url_s.map(amp_candidates, na_action="ignore"),
+                "amp_q": canon.map(amp_candidates, na_action="ignore"),
+            }
+        )
 
 
 # ---------------------------------------------------------------- X22 / F6

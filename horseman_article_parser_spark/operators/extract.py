@@ -534,47 +534,94 @@ def _excerpt(text: str | None) -> str | None:
     return snippet[0].upper() + snippet[1:]
 
 
-def extract_article(url: str | None, html: str | None) -> dict:
-    """Scalar extraction: one HTML document → article dict (UDF kernel)."""
+ALL_ARTICLE_FIELDS = frozenset(f.name for f in ARTICLE_STRUCT.fields)
+_CONTAINER_FIELDS = frozenset(
+    {"title", "links", "images", "tables", "definitions", "figures",
+     "text_raw", "excerpt"}
+)
+_META_FIELDS = frozenset({"title", "meta", "description"})
+_JSONLD_FIELDS = frozenset(
+    {"title", "headline", "article_body", "n_jsonld_articles",
+     "jsonld_articles"}
+)
+
+
+def extract_article(
+    url: str | None, html: str | None, fields: frozenset[str] | None = None
+) -> dict:
+    """Scalar extraction: one HTML document → article dict (UDF kernel).
+
+    `fields` restricts which article keys are computed (the rest stay
+    None) — the kernel-side analogue of column pruning, which Spark
+    cannot see through an opaque mapInPandas (guide §4.1): a caller
+    that only reads `article.links` should not pay for the image
+    caption walk, table parsing and JSON-LD scan of every page."""
     empty = {f.name: None for f in ARTICLE_STRUCT.fields}
     if not html:
         return empty
+    want = ALL_ARTICLE_FIELDS if fields is None else fields
+    out = empty
     root = parse_html(html)
-    container = root.find("article") or root.find("body") or root
-    title_el = root.find("title")
-    doc_title = clean_ws(title_el.text()) if title_el else None
-    meta = _meta_map(root)
-    headline, article_body, jsonld_arts = _jsonld_articles(root)
-    h1 = container.find("h1") or root.find("h1")
-    title = (
-        normalize_title(headline)
-        or normalize_title(meta.get("og:title") or meta.get("twitter:title"))
-        or normalize_title(h1.text() if h1 is not None else None)
-        or normalize_title(doc_title)
-    )
-    text_raw = _block_text(container)
-    return {
-        "title": title,
-        "doc_title": doc_title,
-        "meta": meta,
-        "description": meta.get("description"),
-        "links": _extract_links(container, url),
-        "images": _extract_images(container, root, url),
-        "headline": headline,
-        "article_body": article_body,
-        "n_jsonld_articles": len(jsonld_arts),
-        "jsonld_articles": jsonld_arts,
-        "tables": _extract_tables(container),
-        "definitions": _extract_definitions(container),
-        "figures": _extract_figures(container),
-        "text_raw": text_raw,
-        "excerpt": _excerpt(text_raw),
-    }
+    if want & _CONTAINER_FIELDS:
+        container = root.find("article") or root.find("body") or root
+    else:
+        container = root
+    meta = _meta_map(root) if want & _META_FIELDS else {}
+    if want & _JSONLD_FIELDS:
+        headline, article_body, jsonld_arts = _jsonld_articles(root)
+    else:
+        headline = article_body = None
+        jsonld_arts = []
+    if "doc_title" in want or "title" in want:
+        title_el = root.find("title")
+        doc_title = clean_ws(title_el.text()) if title_el else None
+    else:
+        doc_title = None
+    if "title" in want:
+        h1 = container.find("h1") or root.find("h1")
+        out["title"] = (
+            normalize_title(headline)
+            or normalize_title(meta.get("og:title") or meta.get("twitter:title"))
+            or normalize_title(h1.text() if h1 is not None else None)
+            or normalize_title(doc_title)
+        )
+    if "doc_title" in want:
+        out["doc_title"] = doc_title
+    if "meta" in want:
+        out["meta"] = meta
+    if "description" in want:
+        out["description"] = meta.get("description")
+    if "links" in want:
+        out["links"] = _extract_links(container, url)
+    if "images" in want:
+        out["images"] = _extract_images(container, root, url)
+    if "headline" in want:
+        out["headline"] = headline
+    if "article_body" in want:
+        out["article_body"] = article_body
+    if "n_jsonld_articles" in want:
+        out["n_jsonld_articles"] = len(jsonld_arts)
+    if "jsonld_articles" in want:
+        out["jsonld_articles"] = jsonld_arts
+    if "tables" in want:
+        out["tables"] = _extract_tables(container)
+    if "definitions" in want:
+        out["definitions"] = _extract_definitions(container)
+    if "figures" in want:
+        out["figures"] = _extract_figures(container)
+    if "text_raw" in want or "excerpt" in want:
+        text_raw = _block_text(container)
+        if "text_raw" in want:
+            out["text_raw"] = text_raw
+        if "excerpt" in want:
+            out["excerpt"] = _excerpt(text_raw)
+    return out
 
 
 def extract_articles(
     fetched: DataFrame, url_col: str = "url", html_col: str = "html",
-    fan_out_scan: bool = False,
+    fan_out_scan: bool = False, fields: frozenset[str] | None = None,
+    output_cols: list[str] | None = None,
 ) -> DataFrame:
     """DataFrame op: adds an `article` struct column via one Arrow pass.
 
@@ -583,11 +630,22 @@ def extract_articles(
     plan's partitioning (`.rdd`), which under AQE can materialize
     upstream query stages — so it must only be set when `fetched` is a
     cheap scan/projection, never mid-pipeline (the crawl loop already
-    partitions its fetch wave explicitly)."""
+    partitions its fetch wave explicitly).
+
+    `fields` prunes which article keys the kernel computes (see
+    extract_article). `output_cols` restricts which INPUT columns the
+    kernel ships back to the JVM — without it the page `html` (~KBs per
+    row) makes a pointless Python→JVM round trip just to be dropped by
+    the caller's next select (guide §4.1: only the columns the function
+    needs should cross the boundary — in either direction)."""
     if fan_out_scan:
         fetched = fan_out(fetched)
+    keep = output_cols if output_cols is not None else [
+        f.name for f in fetched.schema.fields
+    ]
+    by_name = {f.name: f for f in fetched.schema.fields}
     in_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in fetched.schema.fields
+        f"`{n}` {by_name[n].dataType.simpleString()}" for n in keep
     )
     out_schema = f"{in_fields}, `article` {ARTICLE_STRUCT.simpleString()}"
 
@@ -595,10 +653,12 @@ def extract_articles(
         for pdf in batches:
             if not len(pdf):
                 continue
-            pdf = pdf.copy()
-            pdf["article"] = [
-                extract_article(u, h) for u, h in zip(pdf[url_col], pdf[html_col])
+            arts = [
+                extract_article(u, h, fields)
+                for u, h in zip(pdf[url_col], pdf[html_col])
             ]
-            yield pdf
+            out = pdf[keep].copy()
+            out["article"] = arts
+            yield out
 
     return fetched.mapInPandas(run, schema=out_schema)
