@@ -62,7 +62,8 @@ def _prep(spark: SparkSession) -> SparkSession:
 _FANOUT_CACHE: dict[tuple[str, str], bool] = {}
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _load(spark: SparkSession, sf_dir: str, name: str,
+          fanout: bool = True, key: str | None = None) -> DataFrame:
     """Read a table, fanning out DEGENERATE input layouts.
 
     The small-SF test parquet is written as ONE row group per file; a
@@ -75,21 +76,43 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     file). At production scale — files with hundreds of 128 MB row
     groups — the condition is false and the plan is untouched; hash
     exchanges, the actual scale hazard, are still audited separately
-    (scripts/explain_audit.py forbids them on per-row plans)."""
+    (scripts/explain_audit.py forbids them on per-row plans).
+
+    r6 (guide §2.4 — remove shuffles outright):
+    - `fanout=False` skips the spread entirely. Right for (a) queries
+      that AGGREGATE the table straight down (the partial agg collapses
+      rows before any exchange, so the round-robin shuffle of the full
+      table was pure cost; scan parallelism now comes from row-group
+      splits via the session's maxPartitionBytes), and (b) small sides
+      that are about to be BROADCAST (repartitioning a side that every
+      executor receives whole is waste).
+    - `key=` replaces the round-robin spread with a hash repartition on
+      the column the query shuffles by NEXT (window/groupBy key): the
+      fan-out exchange then doubles as the query's own exchange and
+      EnsureRequirements inserts no second one — one shuffle instead of
+      two, and no sort-before-repartition (round-robin pays a local
+      binary sort for retry determinism; hash partitioning doesn't).
+      Only used where downstream aggregation is order-insensitive
+      (integer sums / row_number over an explicit ORDER BY)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    key = (sf_dir, name)
-    fanout = _FANOUT_CACHE.get(key)
-    if fanout is None:
+    if not fanout:
+        return df
+    ckey = (sf_dir, name)
+    need = _FANOUT_CACHE.get(ckey)
+    if need is None:
         try:
             import pyarrow.parquet as pq
 
             groups = pq.ParquetFile(f"{sf_dir}/{name}.parquet").num_row_groups
         except Exception:
             groups = 1 << 30  # unreadable metadata: assume splittable
-        fanout = groups < spark.sparkContext.defaultParallelism
-        _FANOUT_CACHE[key] = fanout
-    if fanout:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        need = groups < spark.sparkContext.defaultParallelism
+        _FANOUT_CACHE[ckey] = need
+    if need:
+        if key is not None:
+            df = df.repartition(spark.sparkContext.defaultParallelism, key)
+        else:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
@@ -107,8 +130,9 @@ frontier AS (
 """.strip()
 
 
-def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
+def _frontier(spark: SparkSession, sf_dir: str, fanout: bool = True,
+              key: str | None = None) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents", fanout=fanout, key=key)
     return docs.select(
         F.col("doc_id").alias("seq"),
         F.concat(
@@ -327,7 +351,12 @@ def q_url_transforms(spark, sf_dir):
 
 def q_seen_antijoin(spark, sf_dir):
     fr = _frontier(_prep(spark), sf_dir)
-    seen = fr.filter(F.col("seq") % 3 == 0).select("url")
+    # the seen side is broadcast by the anti-join — build it from a
+    # NON-fanned read (same rows by construction) so it doesn't pay a
+    # round-robin exchange right before being broadcast anyway
+    seen = _frontier(spark, sf_dir, fanout=False).filter(
+        F.col("seq") % 3 == 0
+    ).select("url")
     return fr.join(seen, "url", "left_anti").select("url", "seq")
 
 
@@ -362,20 +391,26 @@ def q_robots_filter(spark, sf_dir):
     )
     # the rules enter as RAW robots.txt bodies and go through the full
     # parse chain (T2: fetch-robots → parse → evaluate); the oracle is
-    # unchanged because the parsed rules are by construction
-    robots_files = spark.createDataFrame(
-        [
-            ("h0.example.com",
-             "# disallow the admin area\nUser-agent: *\nDisallow: /admin\n"
-             "Crawl-delay: 1\n"),
-            ("h1.example.com",
-             "User-agent: otherbot\nDisallow: /nothing\n\n"
-             "User-agent: *\nDisallow: /\nAllow: /public\nCrawl-delay: 1\n"),
-            ("h2.example.com",
-             "User-agent: horseman\nUser-agent: googlebot\n"
-             "Disallow: /story\nCrawl-delay: 1\n"),
-        ],
-        "host string, robots_txt string",
+    # unchanged because the parsed rules are by construction.
+    # r6: built from JVM literals (range + inline) instead of
+    # createDataFrame — the latter plans as a Python-RDD scan that pays
+    # a Python-worker round trip every time the broadcast is rebuilt
+    _robots_rows = [
+        ("h0.example.com",
+         "# disallow the admin area\nUser-agent: *\nDisallow: /admin\n"
+         "Crawl-delay: 1\n"),
+        ("h1.example.com",
+         "User-agent: otherbot\nDisallow: /nothing\n\n"
+         "User-agent: *\nDisallow: /\nAllow: /public\nCrawl-delay: 1\n"),
+        ("h2.example.com",
+         "User-agent: horseman\nUser-agent: googlebot\n"
+         "Disallow: /story\nCrawl-delay: 1\n"),
+    ]
+    robots_files = spark.range(1).select(
+        F.inline(F.array(*[
+            F.struct(F.lit(h).alias("host"), F.lit(txt).alias("robots_txt"))
+            for h, txt in _robots_rows
+        ]))
     )
     robots = PO.parse_robots_txt(robots_files, agent="horseman")
     return PO.robots_filter(cand, robots).select("seq", "url", "host")
@@ -386,13 +421,17 @@ def q_domain_rules_join(spark, sf_dir):
     priority order, broadcast join."""
     spark = _prep(spark)
     fr = FO.uniq(_frontier(spark, sf_dir))
-    rules = spark.createDataFrame(
-        [
-            ("src1.example.com", 1, "exact-src1"),
-            ("src2.example.com", 2, "exact-src2"),
-            ("example.com", 3, "suffix-any"),
-        ],
-        "match string, prio int, setting string",
+    rules = spark.range(1).select(
+        F.inline(F.array(*[
+            F.struct(F.lit(m).alias("match"),
+                     F.lit(p).cast("int").alias("prio"),
+                     F.lit(s).alias("setting"))
+            for m, p, s in [
+                ("src1.example.com", 1, "exact-src1"),
+                ("src2.example.com", 2, "exact-src2"),
+                ("example.com", 3, "suffix-any"),
+            ]
+        ]))
     )
     joined = fr.join(
         F.broadcast(rules),
@@ -1240,14 +1279,44 @@ def q_sentiment(spark, sf_dir):
     docs = _load(_prep(spark), sf_dir, "documents")
     # staged projection: score/comparative evaluated once per row (see
     # with_sentiment docstring — the select-three-Columns form paid ~4
-    # copies of the occurrence sum)
-    inline = TS.with_sentiment(docs).select(
-        "doc_id", "sentiment_score", "comparative_x1e6", "sentiment_label"
+    # copies of the occurrence sum).
+    # r6 shape: BOTH implementations run over ONE scan. The inline
+    # algebra rides along the explode→broadcast-join→agg path as extra
+    # grouping columns (each functionally dependent on doc_id, so the
+    # agg cardinality is unchanged) — this removes the second scan of
+    # `documents`, its fan-out exchange and the final doc_id join of
+    # the two 50k-row sides (guide §2.4). Values are identical: the
+    # join path still explodes lexicon hits, left-joins the broadcast
+    # lexicon and sums tok_score exactly as before.
+    lex = TS.AFINN_MINI
+    st = TS.with_sentiment(docs, keep_staged=True)
+    lex_df = F.broadcast(
+        spark.range(1).select(
+            F.inline(F.array(*[
+                F.struct(F.lit(k).alias("token"), F.lit(v).alias("tok_score"))
+                for k, v in sorted(lex.items())
+            ]))
+        )
     )
-    joined = TS.sentiment_via_join(docs).select(
-        "doc_id", F.col("sentiment_score").alias("score_join")
+    toks = (
+        st.withColumn(
+            "_hits",
+            F.filter(F.col("_sn_toks"), lambda t: t.isin(*sorted(lex))),
+        )
+        .select(
+            "doc_id", "sentiment_score", "comparative_x1e6",
+            "sentiment_label",
+            F.explode_outer("_hits").alias("token"),
+        )
     )
-    return inline.join(joined, "doc_id")
+    return (
+        toks.join(lex_df, "token", "left")
+        .groupBy("doc_id", "sentiment_score", "comparative_x1e6",
+                 "sentiment_label")
+        .agg(F.sum(F.coalesce("tok_score", F.lit(0))).alias("score_join"))
+        .select("doc_id", "sentiment_score", "comparative_x1e6",
+                "sentiment_label", "score_join")
+    )
 
 
 def q_string_helpers(spark, sf_dir):
@@ -1376,10 +1445,13 @@ def q_knn_bruteforce(spark, sf_dir):
     the neighbor's vector norm, joined back by id — the same quantity
     the former embedding_norms query pinned for every vector)."""
     emb = _load(_prep(spark), sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    # broadcast-destined sides read WITHOUT the fan-out repartition:
+    # shuffling rows that every executor receives whole is pure cost
+    emb_small = _load(spark, sf_dir, "embeddings", fanout=False)
+    queries = emb_small.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
-    norms = emb.select(
+    norms = emb_small.select(
         F.col("vec_id").alias("neighbor_id"),
         F.round(SIM.l2_norm_col(F.col("embedding")) * 1_000_000)
         .cast("long").alias("norm_x1e6"),
@@ -1511,7 +1583,11 @@ def q_event_hourly(spark, sf_dir):
 
 
 def q_sessionize(spark, sf_dir):
-    ev = _load(_prep(spark), sf_dir, "events")
+    # keyed fan-out: the spread shuffle IS the window's user_id exchange
+    # (and the session-count groupBy reuses it too — hash(user_id)
+    # satisfies ClusteredDistribution(user_id, session_idx)): 1 exchange
+    # where the round-robin shape paid 2 (guide §2.4)
+    ev = _load(_prep(spark), sf_dir, "events", key="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_utc = F.col("ts").cast("timestamp")  # NTZ parquet → UTC instant
     gap = F.unix_millis(ts_utc) - F.unix_millis(F.lag(ts_utc).over(w))
@@ -1536,7 +1612,9 @@ def q_retry_backoff(spark, sf_dir):
     operate on the same error events)."""
     from horseman_article_parser_spark.functions.urls import classify_error_col
 
-    ev = _load(_prep(spark), sf_dir, "events").filter(F.col("event_type") == "error")
+    ev = _load(_prep(spark), sf_dir, "events", key="user_id").filter(
+        F.col("event_type") == "error"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     out = ev.withColumn("attempt", F.row_number().over(w))
     msg = (
@@ -1557,7 +1635,10 @@ def q_retry_backoff(spark, sf_dir):
 
 
 def q_pricing_summary(spark, sf_dir):
-    li = _load(_prep(spark), sf_dir, "lineitem")
+    # no fan-out: the partial agg collapses 6M rows to a handful BEFORE
+    # the exchange, so round-robin-shuffling the whole table first was
+    # pure cost; scan parallelism comes from row-group splits
+    li = _load(_prep(spark), sf_dir, "lineitem", fanout=False)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1571,7 +1652,9 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_top_orders_per_customer(spark, sf_dir):
-    orders = _load(_prep(spark), sf_dir, "orders")
+    # keyed fan-out: the spread shuffle is the window's o_custkey
+    # exchange — 1 exchange + 1 sort instead of 2 + 2
+    orders = _load(_prep(spark), sf_dir, "orders", key="o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -1585,9 +1668,9 @@ def q_top_orders_per_customer(spark, sf_dir):
 
 def q_revenue_by_nation(spark, sf_dir):
     spark = _prep(spark)
-    orders = _load(spark, sf_dir, "orders")
-    cust = _load(spark, sf_dir, "customer")
-    nation = _load(spark, sf_dir, "nation")
+    orders = _load(spark, sf_dir, "orders", fanout=False)
+    cust = _load(spark, sf_dir, "customer", fanout=False)
+    nation = _load(spark, sf_dir, "nation", fanout=False)
     return (
         orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
@@ -1601,8 +1684,8 @@ def q_revenue_by_nation(spark, sf_dir):
 
 def q_part_type_stats(spark, sf_dir):
     spark = _prep(spark)
-    li = _load(spark, sf_dir, "lineitem")
-    part = _load(spark, sf_dir, "part")
+    li = _load(spark, sf_dir, "lineitem", fanout=False)
+    part = _load(spark, sf_dir, "part", fanout=False)
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_type")

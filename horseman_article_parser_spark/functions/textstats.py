@@ -1170,7 +1170,8 @@ def sentiment_cols(text: Column | str, lexicon: dict[str, int] | None = None,
 
 
 def with_sentiment(df: DataFrame, text_col: str = "text",
-                   lexicon: dict[str, int] | None = None) -> DataFrame:
+                   lexicon: dict[str, int] | None = None,
+                   keep_staged: bool = False) -> DataFrame:
     """Staged-projection form of :func:`sentiment_cols` — identical
     values (the driver oracle and the inline-vs-join agreement pin are
     unchanged), different physical shape.
@@ -1200,7 +1201,7 @@ def with_sentiment(df: DataFrame, text_col: str = "text",
                F.col("sentiment_score").cast("double") / n).otherwise(0.0),
     )
     comp = F.col("_sn_comp")
-    return (
+    out = (
         df.withColumn("comparative_x1e6",
                       F.round(comp * 1_000_000).cast("long"))
         .withColumn(
@@ -1209,8 +1210,12 @@ def with_sentiment(df: DataFrame, text_col: str = "text",
             .when(comp < 0.05, F.lit("Negative"))
             .otherwise(F.lit("Neutral")),
         )
-        .drop("_sn_toks", "_sn_n", "_sn_comp")
     )
+    if keep_staged:
+        # caller reuses _sn_toks/_sn_n (e.g. the explode→join scoring
+        # path over the SAME scan — q_sentiment r6); must drop them
+        return out.drop("_sn_comp")
+    return out.drop("_sn_toks", "_sn_n", "_sn_comp")
 
 
 def sentiment_via_join(docs: DataFrame, lexicon: dict[str, int] | None = None,

@@ -48,8 +48,21 @@ def get_spark(
         # image `bytes` rows can be ~100KB-1MB; cap records per Arrow batch
         # so a batch stays well under executor memory (SURVEY §7.3).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # --- parquet scan sizing (100TB posture: 128MB splits) ---
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- parquet scan sizing ---
+        # Local default 16 MB so multi-row-group test files (~20 MB row
+        # groups) scan with one task per row group instead of one task
+        # for the whole file — a row group is the minimum split unit,
+        # so a 128 MB split swallows a 126 MB/6-row-group file whole
+        # and serializes the scan (guide §6). Production deployments
+        # with 128 MB-1 GB row groups should set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES to 128 MB+ (larger splits cut
+        # task-scheduling overhead and the map-task count feeding
+        # shuffles, guide §2.2); the value is env-parameterised, not a
+        # local-only constant baked into the plan.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"),
+        )
         # deterministic session timezone for timestamp parity with DuckDB
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
