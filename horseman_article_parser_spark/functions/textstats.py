@@ -1129,6 +1129,69 @@ def quality_cols(text: Column | str,
     }
 
 
+def with_quality(df: DataFrame, text_col: str = "text",
+                 tokens: Column | None = None) -> DataFrame:
+    """Staged-projection form of :func:`quality_cols` — identical
+    values, different physical shape (the with_sentiment pattern).
+
+    quality_cols returns independent Column trees: `quality_score`
+    re-embeds the stopword occurrence sum and the alpha regexp that
+    `stopword_hits` / `alpha_ratio_x1e4` also carry, so selecting the
+    three together evaluates the heavy subtrees ~2× per row (measured
+    2.3 s for the combined projection vs ~0.5 s per staged piece at
+    sf1). Here each shared scalar is materialized once behind a Project
+    boundary (CollapseProject keeps non-cheap exprs referenced >1×
+    un-inlined) and the outputs are cheap derivations."""
+    t = _c(text_col)
+    toks = tokens if tokens is not None else tokens_col(text_col)
+    df = df.withColumn("_q_nchars", F.length(t))
+    df = df.withColumn("_q_nwords", F.size(toks))
+    stop = None
+    for w in STOPWORDS_MINI:
+        o = occurrences_col(t, w, tokens=toks)
+        stop = o if stop is None else stop + o
+    df = df.withColumn("_q_stop", stop.cast("long"))
+    df = df.withColumn(
+        "_q_alpha", F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    )
+    nch, nw = F.col("_q_nchars"), F.col("_q_nwords")
+    st, al = F.col("_q_stop"), F.col("_q_alpha")
+    df = df.withColumn(
+        "_q_alpha_ratio",
+        F.when(nch > 0, al.cast("double") / nch).otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(
+        "_q_mean",
+        F.when(nw > 0, nch.cast("double") / nw).otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(
+        "_q_stop_ratio",
+        F.when(nw > 0, st.cast("double") / nw).otherwise(F.lit(0.0)),
+    )
+    score = (
+        F.least(nch.cast("double") / F.lit(20.0), F.lit(40.0))
+        + F.lit(30.0) * F.col("_q_alpha_ratio")
+        + F.lit(20.0) * F.least(F.col("_q_stop_ratio") * F.lit(4.0), F.lit(1.0))
+        + F.lit(10.0)
+        * F.when(
+            (F.col("_q_mean") >= 3.0) & (F.col("_q_mean") <= 8.0), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("stopword_hits", st)
+        .withColumn(
+            "alpha_ratio_x1e4",
+            F.round(F.col("_q_alpha_ratio") * 10000).cast("long"),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(F.least(score, F.lit(100.0))).cast("long"),
+        )
+        .drop("_q_nchars", "_q_nwords", "_q_stop", "_q_alpha",
+              "_q_alpha_ratio", "_q_mean", "_q_stop_ratio")
+    )
+
+
 # ---------------------------------------------------------- sentiment
 
 
@@ -1299,10 +1362,12 @@ def bpe_token_count_col(text: Column | str) -> Column:
     """LLM-pipeline token counting: GPT-style pre-tokenizer match count
     (an upper-bound proxy for BPE token counts — every BPE token is a
     piece of exactly one pre-token). Pure Column expression; the DuckDB
-    twin is len(regexp_extract_all(text, same_pattern))."""
-    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
-        "long"
-    )
+    twin is len(regexp_extract_all(text, same_pattern)).
+
+    r6: regexp_count instead of size(regexp_extract_all) — the same
+    non-overlapping match count without materializing an array of every
+    token substring per row (~40% cheaper at sf1, value-identical)."""
+    return F.regexp_count(_c(text), F.lit(BPE_TOKEN_RE)).cast("long")
 
 
 def bag_fingerprint_col(text: Column | str) -> Column:

@@ -203,29 +203,36 @@ def ngram_jaccard(docs_a: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   step: int = DEFAULT_SHINGLE_STEP) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
 
-    |A∩B| via the (doc, shingle) explode joined twice; |A∪B| = |A|+|B|−∩.
-    Shuffles on shingle-id keys only — text stays at the scan."""
-    sh = doc_shingles(docs_a, id_col, text_col, k, step)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    r6 shape: one per-doc shingle SET array (array_distinct over the
+    stride shingles, built once per doc at the scan), joined to the
+    pair table by each side's id; |A∩B| = size(array_intersect),
+    |A∪B| = |A|+|B|−∩ — all per-row, zero aggregations. The former
+    plan referenced the (doc, shingle) explode three times (two join
+    sides + a size groupBy), so Spark recomputed the explode+distinct
+    thrice and paid ~11 exchanges for 6 logical steps. Values are
+    bit-identical: the same shingle sets, the same integer counts, the
+    same double division.
+
+    Scale note: the per-row arrays carry ~len/step shingles — bounded
+    by the same explode volume the old plan shuffled per pair, so the
+    pair join moves no more bytes than before; the per-doc set build
+    is now O(docs) instead of O(pairs) work."""
+    shset = docs_a.select(
+        F.col(id_col),
+        F.array_distinct(shingles_col(text_col, k, step)).alias("_sh"),
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    a = shset.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = shset.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_n_inter", inter)
         .select(
             "id_a", "id_b",
             (
-                F.coalesce("n_inter", F.lit(0)).cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.coalesce("n_inter", F.lit(0)))
+                F.col("_n_inter").cast("double")
+                / (F.size("_sh_a") + F.size("_sh_b") - F.col("_n_inter"))
             ).alias("jaccard"),
         )
     )
