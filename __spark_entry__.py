@@ -1852,7 +1852,6 @@ def q_content_candidates(spark, sf_dir):
 
     spark = _prep(spark)
     docs = _load(spark, sf_dir, "documents")
-    fr = _frontier(spark, sf_dir)
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><body><article><h1>Heading</h1><p>"), F.col("text"),
@@ -1861,10 +1860,10 @@ def q_content_candidates(spark, sf_dir):
                F.lit('<img src="/i.png" alt="a">')).otherwise(F.lit("")),
         F.lit("</article></body></html>"),
     )
-    pages = docs.join(fr.select(F.col("seq").alias("doc_id"), "url"), "doc_id").select(
-        "doc_id", html.alias("html")
-    )
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    # r6: the frontier self-join only re-keyed the same doc_ids (its url
+    # was never selected) and the extra repartition duplicated _load's
+    # fan-out — both removed, identical rows
+    pages = docs.select("doc_id", html.alias("html"))
     ranked = rank_candidates(candidate_features(pages))
     return ranked.select(
         "doc_id", "xpath", "rank", "sem", "dp", "heads",
@@ -1908,7 +1907,6 @@ def q_probe_canonical(spark, sf_dir):
         "doc_id",
         F.concat(F.lit("https://probe.example/page/"), d).alias("url"),
     )
-    fr = fr.repartition(fr.sparkSession.sparkContext.defaultParallelism)
     probed = probe_urls(fr, _probe_status).select("doc_id", "url", "status", "ok")
     canon = _canonical_refetch_df(spark, sf_dir).select(
         "doc_id", "used", "n_entries", "first_para", "synth_html"
@@ -1953,7 +1951,6 @@ def _canonical_refetch_df(spark, sf_dir):
         .otherwise(thin_plain)
     )
     pages = docs.select("doc_id", html.alias("html"))
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
     return canonical_refetch(pages, _canon_fetch).select(
         "doc_id", "used", "n_entries", "first_para", "synth_html"
     )
@@ -1994,7 +1991,6 @@ def q_detect_container(spark, sf_dir):
     )
     html = F.when(F.col("doc_id") % 2 == 0, frag_html).otherwise(single_html)
     pages = docs.select("doc_id", html.alias("html"))
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
     return detect_containers(pages).select(
         "doc_id", "xpath", "css_selector", "fragmented"
     )
@@ -2159,21 +2155,23 @@ def q_text_render(spark, sf_dir):
         F.lit("</p></body></html>"),
     )
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # lambda + explicit SCALAR type: `from __future__ import annotations`
-    # stringifies hints, which pandas_udf cannot resolve here
-    strip_udf = pandas_udf(
-        lambda h: pd.Series([strip_tags(x, ["aside", ".promo"]) for x in h]),
-        StringType(),
-        PandasUDFType.SCALAR,
-    )
+    # hints attached as real objects (`from __future__ import
+    # annotations` stringifies inline ones, which pandas_udf can't
+    # resolve against this module's globals); replaces the deprecated
+    # explicit PandasUDFType.SCALAR argument
+    def _strip(h):
+        return pd.Series([strip_tags(x, ["aside", ".promo"]) for x in h])
+
+    _strip.__annotations__ = {"h": pd.Series, "return": pd.Series}
+    strip_udf = pandas_udf(_strip, StringType())
 
     pages = docs.select(
         "doc_id", html.alias("html"), strip_html.alias("strip_html"),
         F.concat(F.lit("Story "), d).alias("title"),
     )
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
+    # r6: no extra repartition — _load already fanned the scan out
     out = render_texts(pages, title_col="title")
     stripped = pages.select("doc_id", strip_udf("strip_html").alias("stripped"))
     return out.select(
@@ -2214,7 +2212,6 @@ def q_boilerplate_strip(spark, sf_dir):
         F.lit("</p></footer></article></body></html>"),
     )
     pages = docs.select("doc_id", html.alias("html"))
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
     out = render_texts(pages, strip_boilerplate=True)
     return out.select("doc_id", F.col("texts.raw").alias("raw"))
 
@@ -2244,7 +2241,6 @@ def q_liveblog(spark, sf_dir):
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, live_html).otherwise(plain_html).alias("html"),
     )
-    pages = pages.repartition(pages.sparkSession.sparkContext.defaultParallelism)
     out = liveblog_summaries(pages)
     e1 = F.try_element_at(F.col("liveblog.entries"), F.lit(1))
     return out.select(

@@ -864,11 +864,13 @@ def langid_batch_col(norm_text: Column) -> Column:
              "best_score": pd.array(best_out, dtype="int64")}
         )
 
-    from pyspark.sql.functions import PandasUDFType
-
+    # type hints attached as real objects (not strings): `from
+    # __future__ import annotations` stringifies inline hints, which
+    # pandas_udf's hint resolution can't always evaluate; this replaces
+    # the deprecated explicit PandasUDFType.SCALAR argument
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
     udf = pandas_udf(
         _kernel, "iso6391 string, iso6393 string, best_score long",
-        PandasUDFType.SCALAR,
     )
     return udf(norm_text)
 
@@ -1340,9 +1342,17 @@ def sentiment_via_join(docs: DataFrame, lexicon: dict[str, int] | None = None,
 # -------------------------------------------------------- fingerprints
 
 
+# The positive complement of [A-Za-z0-9À-￿] — identical match set
+# (pinned by tests/test_textstats.py::test_normtext_positive_class
+# _equivalence), but Spark 4.1's regexp_replace hits a slow path on
+# negated classes with 3+ ranges (measured ~7x on dense alnum input;
+# see urls.B64_JUNK_RE for the same fix on the base64 cleaner).
+NORMTEXT_JUNK_RE = "[\\x00-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\xbf]+"
+
+
 def normalize_text_col(text: Column | str) -> Column:
     """X1-style normalization: non-alnum→space, collapse, trim, lower."""
-    t = F.regexp_replace(_c(text), r"[^A-Za-z0-9À-￿]+", " ")
+    t = F.regexp_replace(_c(text), NORMTEXT_JUNK_RE, " ")
     return F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
 
 

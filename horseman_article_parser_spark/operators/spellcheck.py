@@ -59,7 +59,9 @@ def mask_urls_col(text: Column | str) -> Column:
 def normalize_entity_col(s: Column) -> Column:
     """X1 normalizeEntity (/root/reference/controllers/entityParser.js:83-90)."""
     out = F.regexp_replace(s, r"['’]", "")
-    out = F.regexp_replace(out, r"[^A-Za-z0-9]+", " ")
+    # positive complement of [A-Za-z0-9] — same match set, avoids Spark
+    # 4.1's negated-class slow path (see textstats.NORMTEXT_JUNK_RE)
+    out = F.regexp_replace(out, "[\\x00-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-￿]+", " ")
     return F.lower(F.trim(out))
 
 

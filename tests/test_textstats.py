@@ -335,3 +335,18 @@ def test_keywords_kernel_matches_declarative(spark):
         ] == [(f.name, f.dataType) for f in want.schema]
         diff = want.exceptAll(got).unionAll(got.exceptAll(want))
         assert diff.count() == 0, diff.limit(20).collect()
+
+
+def test_normtext_positive_class_equivalence():
+    """NORMTEXT_JUNK_RE must match exactly [^A-Za-z0-9À-￿] per char."""
+    import re
+
+    from horseman_article_parser_spark.functions.textstats import (
+        NORMTEXT_JUNK_RE,
+    )
+
+    neg = re.compile(r"[^A-Za-z0-9À-￿]")
+    pos = re.compile(NORMTEXT_JUNK_RE.replace("\\\\", "\\").rstrip("+"))
+    for i in range(0x10000):
+        c = chr(i)
+        assert bool(neg.match(c)) == bool(pos.match(c)), hex(i)

@@ -185,3 +185,17 @@ def test_with_sanitized_data_url_matches_column_form(spark):
             .collect()
         )
         assert col_rows == staged_rows
+
+
+def test_b64_junk_positive_class_equivalence():
+    """B64_JUNK_RE (positive complement, Spark-4.1-fast) must match
+    exactly the characters of the original negated class."""
+    import re
+
+    from horseman_article_parser_spark.functions.urls import B64_JUNK_RE
+
+    neg = re.compile(r"[^A-Za-z0-9+/=_-]")
+    pos = re.compile(B64_JUNK_RE.replace("\\\\", "\\"))
+    for i in range(0x10000):
+        c = chr(i)
+        assert bool(neg.match(c)) == bool(pos.match(c)), hex(i)
