@@ -124,15 +124,23 @@ class BloomSeenFilter:
 
     # ------------------------------------------------------------- ops
 
-    def claim_unseen(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+    def claim_unseen(self, df: DataFrame, url_col: str = "url",
+                     dedup_first: list[str] | None = None) -> DataFrame:
         """Atomic test-and-set: returns rows whose URL was not seen, and
         commits a new state version with those URLs inserted.
 
         One shuffle (on shard_id); each task loads, probes, updates and
-        writes only its own shards. Rows are deduplicated within the
-        batch first (first occurrence by hash order is irrelevant —
-        callers dedup by their own ordering before calling).
-        """
+        writes only its own shards.
+
+        `dedup_first`: column names forming the 'first discovery'
+        ordering. When given, duplicate urls within the batch are
+        collapsed INSIDE the shard task to the row with the
+        lexicographically smallest (dedup_first...) tuple — identical
+        to an upstream groupBy(url).agg(min(struct(...))), but without
+        that groupBy's own exchange: the shard shuffle already
+        co-locates every copy of a url (shard = f(url)), so the claim's
+        one shuffle does double duty (guide §2.4). Without it, callers
+        dedup by their own ordering before calling, as before."""
         spark = df.sparkSession
         in_cols = df.columns
         hashed = with_seen_hashes(df, url_col, self.n_shards)
@@ -150,6 +158,10 @@ class BloomSeenFilter:
             if not parts:
                 return
             pdf = pd.concat(parts, ignore_index=True)
+            if dedup_first:
+                pdf = pdf.sort_values(
+                    [url_col, *dedup_first], kind="mergesort"
+                ).drop_duplicates(url_col, keep="first")
             for shard_id, grp in pdf.groupby(_SHARD, sort=True):
                 shard_key = str(int(shard_id))
                 path = manifest.get(shard_key)

@@ -414,7 +414,11 @@ class CrawlScheduler:
         w_pos = Window.orderBy("priority", "seq")
         wave = top.withColumn("pos", F.row_number().over(w_pos) - 1)
         wave = wave.persist()
-        self.store.write(wave.orderBy("pos"), "waves", round_no)
+        # r6: sortWithinPartitions, not orderBy — the wave is a single
+        # partition (global pos window), so a local sort preserves the
+        # same on-disk order without orderBy's range-partitioning
+        # sampling job + exchange per round
+        self.store.write(wave.sortWithinPartitions("pos"), "waves", round_no)
         if cfg.token_buckets:
             self._write_host_state(budget_df, wave, round_no)
         t = _mark("wave_select", t0)
@@ -439,17 +443,36 @@ class CrawlScheduler:
         n_extracted = links.count() if cfg.lineage_counts else -1
         t = _mark("link_expand", t)
         # in-batch first-occurrence dedup: keep the earliest discovery in
-        # crawl-schedule order (parent's wave pos, then link pos)
-        dedup = links.groupBy("target").agg(
-            F.min(F.struct("parent_pos", "pos", "parent_depth")).alias("first")
+        # crawl-schedule order (parent's wave pos, then link pos).
+        # r6: for the sharded filters the dedup runs INSIDE the claim's
+        # shard task (shard = f(url) already co-locates every copy), so
+        # the separate groupBy(target) exchange disappears — one shuffle
+        # where the old plan paid two; identical min-struct semantics.
+        renamed = links.select(
+            F.col("target").alias("url"), "parent_pos", "pos", "parent_depth"
         )
-        dedup = dedup.select(
-            F.col("target").alias("url"),
-            F.col("first.parent_pos").alias("parent_pos"),
-            F.col("first.pos").alias("pos"),
-            (F.col("first.parent_depth") + 1).alias("depth"),
+        if isinstance(self.seen, BloomSeenFilter):
+            claimed = self.seen.claim_unseen(
+                renamed, dedup_first=["parent_pos", "pos", "parent_depth"]
+            )
+        else:
+            dedup = renamed.groupBy("url").agg(
+                F.min(
+                    F.struct("parent_pos", "pos", "parent_depth")
+                ).alias("first")
+            )
+            claimed = self.seen.claim_unseen(
+                dedup.select(
+                    "url",
+                    F.col("first.parent_pos").alias("parent_pos"),
+                    F.col("first.pos").alias("pos"),
+                    F.col("first.parent_depth").alias("parent_depth"),
+                )
+            )
+        new_rows = claimed.select(
+            "url", "parent_pos", "pos",
+            (F.col("parent_depth") + 1).alias("depth"),
         )
-        new_rows = self.seen.claim_unseen(dedup)
         t = _mark("seen_claim", t)
         # deterministic seq for the next generation: an order-preserving
         # ARITHMETIC encode of the (unique) discovery position — no
