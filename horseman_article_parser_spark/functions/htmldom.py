@@ -234,13 +234,178 @@ def to_html(node: "Element | str") -> str:
     return "".join(parts)
 
 
+# --------------------------------------------------------- fast tokenizer
+#
+# A regex-scanner drive of the SAME _TreeBuilder handlers, mirroring
+# html.parser.HTMLParser(convert_charrefs=True) semantics for the
+# common constructs (tags/attrs via the stdlib's own tolerant regexes,
+# comments, doctype, PI, bogus end tags, script/style raw text,
+# charref-decoded data). The stdlib parser spends over half of parse
+# time in its buffer-oriented goahead/updatepos machinery, which exists
+# for incremental feeds we never do. Any construct this scanner is not
+# bit-sure about returns False and parse_html re-parses the document
+# with the stdlib path — so the fast path can only ever be a
+# performance difference, never a semantic one. Equivalence on the
+# reference fixture corpus + adversarial strings is pinned by
+# tests/test_extract.py::test_fast_parse_matches_stdlib.
+
+from html.parser import (  # noqa: E402  (stdlib tolerant regexes)
+    attrfind_tolerant,
+    endtagfind,
+    locatestarttagend_tolerant,
+    starttagopen,
+    tagfind_tolerant,
+)
+
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+    for t in ("script", "style")
+}
+
+
+def _fast_feed(b: _TreeBuilder, rawdata: str) -> bool:
+    """Drive b's handlers over the whole document; False = bail."""
+    i, n = 0, len(rawdata)
+    cdata: str | None = None
+    while i < n:
+        if cdata is not None:
+            m = _CDATA_CLOSE[cdata].search(rawdata, i)
+            if m is None:
+                return True  # stdlib drops unterminated cdata content
+            if i < m.start():
+                b.handle_data(rawdata[i : m.start()])  # raw, no unescape
+            b.handle_endtag(cdata)
+            cdata = None
+            i = m.end()
+            continue
+        j = rawdata.find("<", i)
+        if j < 0:
+            b.handle_data(unescape(rawdata[i:]))
+            return True
+        if i < j:
+            b.handle_data(unescape(rawdata[i:j]))
+        i = j
+        if starttagopen.match(rawdata, i):
+            # --- start tag (parse_starttag mirror)
+            lm = locatestarttagend_tolerant.match(rawdata, i)
+            if lm is None:
+                return False
+            j2 = lm.end()
+            nxt = rawdata[j2 : j2 + 1]
+            if nxt == ">":
+                endpos = j2 + 1
+            elif nxt == "/" and rawdata.startswith("/>", j2):
+                endpos = j2 + 2
+            else:
+                return False  # junk/EOF recovery paths: let stdlib do it
+            tm = tagfind_tolerant.match(rawdata, i + 1)
+            if tm is None:
+                return False
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs: list[tuple[str, str | None]] = []
+            while k < endpos:
+                am = attrfind_tolerant.match(rawdata, k)
+                if am is None:
+                    break
+                name, rest, val = am.group(1, 2, 3)
+                if not rest:
+                    val = None
+                elif val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+                    val = val[1:-1]
+                if val:
+                    val = unescape(val)
+                attrs.append((name.lower(), val))
+                k = am.end()
+            end = rawdata[k:endpos].strip()
+            if end not in (">", "/>"):
+                b.handle_data(rawdata[i:endpos])
+            elif end == "/>":
+                b.handle_startendtag(tag, attrs)
+            else:
+                b.handle_starttag(tag, attrs)
+                if tag in ("script", "style"):
+                    cdata = tag
+            i = endpos
+        elif rawdata.startswith("</", i):
+            # --- end tag (parse_endtag mirror, non-cdata)
+            gt = rawdata.find(">", i + 1)
+            if gt < 0:
+                return False
+            em = endtagfind.match(rawdata, i)
+            if em is not None:
+                b.handle_endtag(em.group(1).lower())
+                i = gt + 1
+                continue
+            nm = tagfind_tolerant.match(rawdata, i + 2)
+            if nm is None:
+                if rawdata.startswith("</>", i):
+                    i += 3
+                    continue
+                # bogus comment: consume to '>' (handle_comment no-op)
+                i = gt + 1
+                continue
+            gt2 = rawdata.find(">", nm.end())
+            if gt2 < 0:
+                return False
+            b.handle_endtag(nm.group(1).lower())
+            i = gt2 + 1
+        elif rawdata.startswith("<!--", i):
+            cm = _COMMENT_CLOSE.search(rawdata, i + 4)
+            if cm is None:
+                return False
+            i = cm.end()
+        elif rawdata.startswith("<?", i):
+            gt = rawdata.find(">", i + 2)
+            if gt < 0:
+                return False
+            i = gt + 1
+        elif rawdata.startswith("<!", i):
+            if rawdata.startswith("<![", i):
+                return False  # marked sections: stdlib machinery
+            if rawdata[i : i + 9].lower() == "<!doctype":
+                gt = rawdata.find(">", i + 9)
+            else:
+                gt = rawdata.find(">", i + 2)  # bogus comment
+            if gt < 0:
+                return False
+            i = gt + 1
+        elif i + 1 < n:
+            b.handle_data("<")
+            i += 1
+        else:
+            b.handle_data("<")  # lone trailing '<' (flushed at close)
+            return True
+    return True
+
+
 def parse_html(html: str) -> Element:
+    builder = _TreeBuilder()
+    ok = False
+    try:
+        ok = _fast_feed(builder, html)
+    except Exception:
+        ok = False
+    if not ok:
+        builder = _TreeBuilder()  # discard the partial fast-path tree
+        try:
+            builder.feed(html)
+            builder.close()
+        except Exception:
+            pass  # lenient: keep whatever tree was built
+    builder.finalize()
+    return builder.root
+
+
+def parse_html_stdlib(html: str) -> Element:
+    """The stdlib-driven path alone (equivalence-pin oracle)."""
     builder = _TreeBuilder()
     try:
         builder.feed(html)
         builder.close()
     except Exception:
-        pass  # lenient: keep whatever tree was built
+        pass
     builder.finalize()
     return builder.root
 

@@ -195,3 +195,109 @@ def test_title_reference_quirks():
             == "Far-right London rally")
     full = "PM: I would never have appointed Mandelson had I known full Epstein links"
     assert normalize_title(full) == full
+
+
+def _tree_sig(el):
+    """Full structural signature: tags, attrs, text nodes, pos/end."""
+    from horseman_article_parser_spark.functions.htmldom import Element
+
+    out = [(el.tag, sorted((el.attrs or {}).items()), el.pos, el.end)]
+    for ch in el.children:
+        if isinstance(ch, Element):
+            out.extend(_tree_sig(ch))
+        else:
+            out.append(("#text", ch))
+    return out
+
+
+def test_fast_parse_matches_stdlib():
+    """The regex-scanner fast path must build the IDENTICAL tree to the
+    stdlib-driven path (or bail to it) for fixture HTML, synthesized
+    page shapes, and adversarial constructs."""
+    import glob
+
+    from horseman_article_parser_spark.functions.htmldom import (
+        parse_html,
+        parse_html_stdlib,
+    )
+
+    samples = []
+    for path in sorted(glob.glob("/root/reference/tests/fixtures/**/*.html",
+                                 recursive=True)):
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            samples.append(fh.read())
+    samples += [
+        "",
+        "plain text only",
+        "<p>a<p>b",
+        "<html><head><title>T &amp; U</title><meta name='a' content='b&quot;c'>"
+        "</head><body><article><h1>H</h1><p>x<b>y</b> &lt;tag&gt;</p>"
+        "<a href='/l?a=1&amp;b=2'>L</a><img src='/i.png' alt='A' />"
+        "<script type='application/ld+json'>{\"@type\":\"Article\","
+        "\"headline\":\"x < y && z\"}</script>"
+        "<script>if (a<b) { track() }</script><style>p > a {}</style>"
+        "<!-- a comment <p>not a tag</p> --><table><thead><tr><th>K</th>"
+        "</tr></thead><tr><td>v</td></tr></table><dl><dt>t</dt><dd>d</dd>"
+        "</dl></article></body></html>",
+        "<!DOCTYPE html><html><body><p>doc</p></body></html>",
+        "<!doctype html><p>lower</p>",
+        "a<!>b", "a</ >b", "a</>b", "a</1>b",
+        "<p>x</p attr='>'>y",
+        "trail<", "hi &amp x", "trail &am",
+        "<div class='a b' data-x>valueless</div>",
+        "<br/><br />text<hr>",
+        "<script>unterminated",
+        "<!-- unterminated",
+        "<p unterminated",
+        "<p a='1' a='2'>dup</p>",
+        "<P><IMG SRC='/U.PNG'></P>",
+        "< notatag>x",
+        "<![CDATA[raw]]>tail",
+        "<?php echo 1 ?>tail",
+        "<sCrIpT>x</ScRiPt >after",
+        "<a href=\"x&y\">amp in attr</a>",
+        "élán <p>unicode ’ text</p>",
+    ]
+    for html in samples:
+        fast = _tree_sig(parse_html(html))
+        std = _tree_sig(parse_html_stdlib(html))
+        assert fast == std, (html[:120], fast[:10], std[:10])
+
+
+def test_fast_parse_matches_stdlib_fuzz():
+    """Seeded fuzz: random mutations (truncation, injection, splice) of
+    a realistic page must parse identically on both paths."""
+    import random
+
+    from horseman_article_parser_spark.functions.htmldom import (
+        parse_html,
+        parse_html_stdlib,
+    )
+
+    base = (
+        "<html><head><title>Doc 7 | Site</title><meta name='d' content='x'>"
+        "</head><body><article><h1>H</h1><p>words &amp; more words</p>"
+        "<a href='/n/8'>next</a><figure><img src='/i.png' alt='a'>"
+        "<figcaption>Cap</figcaption></figure><script>s<t()</script>"
+        "<table><tr><th>K</th></tr><tr><td>v</td></tr></table>"
+        "</article></body></html>"
+    )
+    rng = random.Random(20260822)
+    snippets = ["<", ">", "</", "<!--", "-->", "&amp;", "&", "'", '"',
+                "<p>", "</p>", "<![", "<!x>", "<?pi>", "é", "=",
+                "<img src=", " data-x", "<script>", "</script>"]
+    for _ in range(400):
+        h = base
+        for _ in range(rng.randint(1, 4)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(h) + 1)
+            if op == 0:
+                h = h[:pos]  # truncate
+            elif op == 1:
+                h = h[:pos] + rng.choice(snippets) + h[pos:]
+            else:
+                cut = rng.randrange(1, 12)
+                h = h[:pos] + h[pos + cut:]
+        fast = _tree_sig(parse_html(h))
+        std = _tree_sig(parse_html_stdlib(h))
+        assert fast == std, h[:160]
