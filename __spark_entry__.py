@@ -246,17 +246,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_frontier_uniq(spark, sf_dir):
-    fr = _frontier(_prep(spark), sf_dir)
+    # no fan-out: uniq's groupBy(url) exchange spreads the rows itself
+    fr = _frontier(_prep(spark), sf_dir, fanout=False)
     return FO.uniq(fr).select("url", "seq", "host")
 
 
 def q_frontier_unique_by_host(spark, sf_dir):
-    fr = _frontier(_prep(spark), sf_dir)
+    fr = _frontier(_prep(spark), sf_dir, fanout=False)
     return FO.unique_by_host(FO.uniq(fr), limit=10).select("url", "seq", "host")
 
 
 def q_frontier_wave0(spark, sf_dir):
-    fr = _frontier(_prep(spark), sf_dir)
+    fr = _frontier(_prep(spark), sf_dir, fanout=False)
     wave = FO.build_wave0(fr, limit=15)
     return FO.ordered_zip_with_index(wave, ["seq"], out_col="pos").select(
         "pos", "url", "host", "seq"
@@ -264,7 +265,7 @@ def q_frontier_wave0(spark, sf_dir):
 
 
 def q_frontier_slice(spark, sf_dir):
-    fr = FO.uniq(_frontier(_prep(spark), sf_dir))
+    fr = FO.uniq(_frontier(_prep(spark), sf_dir, fanout=False))
     return FO.slice_frontier(fr, start=20, limit=30).select("url", "seq")
 
 
@@ -361,7 +362,8 @@ def q_seen_antijoin(spark, sf_dir):
 
 
 def q_round_robin_interleave(spark, sf_dir):
-    fr = _frontier(_prep(spark), sf_dir).withColumn(
+    # no fan-out: the rr window's feed exchange spreads the rows itself
+    fr = _frontier(_prep(spark), sf_dir, fanout=False).withColumn(
         "feed", F.regexp_extract("host", r"^(src\d+)", 1)
     )
     out = FO.round_robin_interleave(fr, "feed", "seq", count=100)
@@ -369,7 +371,8 @@ def q_round_robin_interleave(spark, sf_dir):
 
 
 def q_politeness_budget(spark, sf_dir):
-    fr = _frontier(_prep(spark), sf_dir).withColumn("priority", F.lit(0.0))
+    # no fan-out: phase-1's salted (host,salt) exchange spreads the rows
+    fr = _frontier(_prep(spark), sf_dir, fanout=False).withColumn("priority", F.lit(0.0))
     out = PO.enforce_host_budget(fr, None, default_budget=3, order_cols=["seq"])
     return out.select("host", "url", "seq")
 
@@ -420,7 +423,7 @@ def q_domain_rules_join(spark, sf_dir):
     """J2: first matching per-domain tweak rule (exact or suffix match),
     priority order, broadcast join."""
     spark = _prep(spark)
-    fr = FO.uniq(_frontier(spark, sf_dir))
+    fr = FO.uniq(_frontier(spark, sf_dir, fanout=False))
     rules = spark.range(1).select(
         F.inline(F.array(*[
             F.struct(F.lit(m).alias("match"),
