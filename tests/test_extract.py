@@ -301,3 +301,61 @@ def test_fast_parse_matches_stdlib_fuzz():
         fast = _tree_sig(parse_html(h))
         std = _tree_sig(parse_html_stdlib(h))
         assert fast == std, h[:160]
+
+
+def test_synth_pages_template_matches_jvm(spark):
+    """_synth_page_html must render byte-identically to the JVM concat
+    it replaced (the extract oracles hash values derived from this
+    markup, so a template drift is an oracle break, not a perf bug)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as E
+
+    rows = [(d, f"src{d % 3}", ["en", "fr", "de"][d % 3],
+             f"Body text {d} & <none> 'quoted'")
+            for d in (0, 1, 2, 5, 399, 400, 401, 1234)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, lang string, text string")
+    d = F.col("doc_id").cast("string")
+    img_html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<figure><img src="/img/'), d,
+            F.lit('.png" alt="alt text" width="64" height="32">'),
+            F.lit("<figcaption>Caption "), d, F.lit("</figcaption></figure>"),
+        ),
+    ).otherwise(F.lit(""))
+    table_html = F.concat(
+        F.lit("<table><thead><tr><th>Key</th><th>Value</th></tr></thead>"),
+        F.lit("<tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>bucket</td><td>b"),
+        (F.col("doc_id") % 5).cast("string"), F.lit("</td></tr></table>"),
+    )
+    dl_html = F.concat(
+        F.lit("<dl><dt>Lang</dt><dd>"), F.col("lang"),
+        F.lit("</dd><dd>doc "), d,
+        F.lit("</dd><dt>Bucket</dt><dd>b"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</dd></dl>"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d, F.lit(" | ExampleSite</title>"),
+        F.lit('<meta name="description" content="'), F.col("lang"),
+        F.lit(' article">'),
+        F.lit('<meta property="og:title" content="OG Doc '), d, F.lit('">'),
+        F.lit("</head><body><article><h1>Heading</h1><p>"), F.col("text"),
+        F.lit('</p><a href="/next/'), (F.col("doc_id") + 1).cast("string"),
+        F.lit('">next</a><a href="https://ext.com/e'), d, F.lit('">ext</a>'),
+        img_html, table_html, dl_html, F.lit("</article></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/story-"), (F.col("doc_id") % 400).cast("string"),
+    )
+    jvm = {r.doc_id: (r.url, r.html) for r in
+           df.select("doc_id", url.alias("url"), html.alias("html")).collect()}
+    for doc_id, src, lang, text in rows:
+        exp_url, exp_html = jvm[doc_id]
+        assert E._SYNTH_URL_TPL.format(
+            src=src, lang=lang, slot=doc_id % 400) == exp_url
+        assert E._synth_page_html(doc_id, lang, text) == exp_html
