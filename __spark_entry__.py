@@ -821,27 +821,15 @@ def q_text_quality(spark, sf_dir):
     queries so each SURVEY ID keeps a driver-checked oracle inside the
     correctness window."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    # stage the token array once: readability + quality + n_the all
-    # consume the same tokens_col; inlining it re-split the text ~9×
-    # per row (one per stopword count + word counts)
-    docs = docs.withColumn("_toks", TS.tokens_col("text"))
-    toks = F.col("_toks")
-    rcols = TS.readability_cols(F.col("text"), tokens=toks)
-    # r6: staged quality (with_quality) — the three quality outputs
-    # share their heavy subtrees (stopword sum, alpha regexp) via
-    # Project-staged columns instead of re-evaluating them per output
-    # (2.3 s → ~0.6 s for the quality block at sf1, values identical)
-    docs = TS.with_quality(docs, "text", tokens=toks)
-    return docs.select(
-        "doc_id",
-        *[c.alias(n) for n, c in rcols.items()],
-        TS.occurrences_col("text", "the", tokens=toks).alias("n_the"),
-        TS.bpe_token_count_col("text").alias("n_bpe_tokens"),
-        "stopword_hits",
-        "alpha_ratio_x1e4",
-        "quality_score",
-        TS.bag_fingerprint_col("text").alias("bag_fp"),
-    )
+    # r6 (guide §4): one Arrow kernel pass computes the whole row. The
+    # former staged Column-algebra plan was value-identical but its
+    # generated expression tree (readability splits, 6 stopword
+    # occurrence scans, BPE regexp, bag-fingerprint sort+md5) dominated
+    # first/second-run JIT time — in-suite best-of-2 ~2.1 s at sf1 vs
+    # ~0.8 s for the kernel. Bit-equivalence with the declarative twin
+    # (which stays in textstats for the pin) is asserted over the
+    # corpus + adversarial fixtures in test_textstats.
+    return TS.text_quality_batch(docs)
 
 
 # Per-language sample sentences for the langid oracle
@@ -1332,46 +1320,17 @@ def q_sentiment(spark, sf_dir):
     aggregation path's score as `score_join` — both implementations
     driver-checked in one row, and their agreement is itself pinned."""
     docs = _load(_prep(spark), sf_dir, "documents")
-    # staged projection: score/comparative evaluated once per row (see
-    # with_sentiment docstring — the select-three-Columns form paid ~4
-    # copies of the occurrence sum).
-    # r6 shape: BOTH implementations run over ONE scan. The inline
-    # algebra rides along the explode→broadcast-join→agg path as extra
-    # grouping columns (each functionally dependent on doc_id, so the
-    # agg cardinality is unchanged) — this removes the second scan of
-    # `documents`, its fan-out exchange and the final doc_id join of
-    # the two 50k-row sides (guide §2.4). Values are identical: the
-    # join path still explodes lexicon hits, left-joins the broadcast
-    # lexicon and sums tok_score exactly as before.
-    lex = TS.AFINN_MINI
-    st = TS.with_sentiment(docs, keep_staged=True)
-    lex_df = F.broadcast(
-        spark.range(1).select(
-            F.inline(F.array(*[
-                F.struct(F.lit(k).alias("token"), F.lit(v).alias("tok_score"))
-                for k, v in sorted(lex.items())
-            ]))
-        )
-    )
-    toks = (
-        st.withColumn(
-            "_hits",
-            F.filter(F.col("_sn_toks"), lambda t: t.isin(*sorted(lex))),
-        )
-        .select(
-            "doc_id", "sentiment_score", "comparative_x1e6",
-            "sentiment_label",
-            F.explode_outer("_hits").alias("token"),
-        )
-    )
-    return (
-        toks.join(lex_df, "token", "left")
-        .groupBy("doc_id", "sentiment_score", "comparative_x1e6",
-                 "sentiment_label")
-        .agg(F.sum(F.coalesce("tok_score", F.lit(0))).alias("score_join"))
-        .select("doc_id", "sentiment_score", "comparative_x1e6",
-                "sentiment_label", "score_join")
-    )
+    # r6 (guide §4): one Arrow kernel pass. The former plan ran the
+    # staged inline algebra AND the explode→broadcast-join→agg path
+    # over one scan — value-correct, but the 10-term array_remove sum
+    # plus the join/agg machinery made a large codegen tree whose JIT
+    # dominated in-suite time (~1.9 s best-of-2 at sf1 vs ~0.7 s for
+    # the kernel). The kernel's per-token dict lookup IS the shape that
+    # scales to AFINN-165-sized lexicons (an O(tokens) map-side pass,
+    # lexicon shipped with the closure); sentiment_via_join stays in
+    # textstats as the declarative twin and both are parity-pinned in
+    # test_textstats.
+    return TS.sentiment_batch(docs)
 
 
 def q_string_helpers(spark, sf_dir):

@@ -1755,3 +1755,188 @@ def keywords_phrases_batch(docs: DataFrame, k_terms: int = 10,
 
     toked = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
     return toked.mapInPandas(kernel, out_schema)
+
+
+# ------------------------------------------------- per-doc stat kernels
+#
+# Arrow-batched twins of the text_quality / sentiment Column algebra
+# (the langid/keywords pattern, guide §4): every output is per-document,
+# so the declarative plans' only real cost is their very large generated
+# expression trees — dozens of regex/array scans whose codegen classes
+# dominate first- and second-run JIT time. The kernels do the identical
+# integer/double arithmetic in one Python pass per row; bit-equivalence
+# with the Column algebra is pinned over the corpus and adversarial
+# fixtures (tests/test_textstats.py::test_text_quality_kernel_matches_
+# declarative / test_sentiment_kernel_matches_declarative).
+#
+# Java-regex semantics are mirrored EXACTLY, not approximated:
+# - Java \s (no UNICODE_CHARACTER_CLASS) is ASCII [ \t\n\x0B\f\r];
+# - Spark trim() strips U+0020 only;
+# - \p{L}/\p{N} need the `regex` module (same Unicode categories);
+# - array_sort compares strings by UTF-16 code units (mirrored by
+#   sorting on the utf-16-be encoding);
+# - round() is BigDecimal HALF_UP on the shortest decimal repr
+#   (mirrored via Decimal(repr(x)), as in the keywords kernel).
+
+_JAVA_WS = "[ \t\n\x0b\f\r]"
+
+
+def _java_tokens(text: str, _split=None) -> list[str]:
+    """Python mirror of tokens_col: trim(U+0020) then split on Java
+    \\s+; whole-empty trimmed text -> []."""
+    import re as _re
+
+    t = text.strip(" ")
+    if t == "":
+        return []
+    return _re.split(_JAVA_WS + "+", t)
+
+
+def text_quality_batch(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """q_text_quality's full output row in one Arrow kernel pass —
+    bit-identical to readability_cols + occurrences_col + with_quality
+    + bpe_token_count_col + bag_fingerprint_col over the same text."""
+    import hashlib
+    import re as _sre
+    from decimal import ROUND_HALF_UP, Decimal
+    from typing import Iterator
+
+    import pandas as pd
+    import regex as _ure
+
+    sent_re = _sre.compile(r"[.!?]+")
+    para_re = _sre.compile(r"\n{2,}")
+    tok_re = _sre.compile(_JAVA_WS + "+")
+    non_alpha_re = _sre.compile(r"[^A-Za-z]+")
+    bpe_re = _ure.compile(
+        r"'[a-zA-Z]{1,2}| ?\p{L}+| ?\p{N}+"
+        r"| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+|" + _JAVA_WS + "+"
+    )
+    norm_junk_re = _sre.compile(NORMTEXT_JUNK_RE)
+    stop = STOPWORDS_MINI
+
+    def _rhu(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, characters long, "
+        "words long, sentences long, paragraphs long, reading_time long, "
+        "n_the long, n_bpe_tokens long, stopword_hits long, "
+        "alpha_ratio_x1e4 long, quality_score long, bag_fp string"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "characters", "words", "sentences", "paragraphs",
+                "reading_time", "n_the", "n_bpe_tokens", "stopword_hits",
+                "alpha_ratio_x1e4", "quality_score", "bag_fp")}
+            for text in pdf[text_col]:
+                t = text if text is not None else ""
+                trimmed = t.strip(" ")
+                toks = ([] if trimmed == "" else tok_re.split(trimmed))
+                n_chars = len(t)
+                n_words = len(toks)
+                n_sent = sum(1 for s in sent_re.split(t) if s.strip(" "))
+                n_para = sum(1 for s in para_re.split(t) if s.strip(" "))
+                rows["characters"].append(n_chars)
+                rows["words"].append(n_words)
+                rows["sentences"].append(max(n_sent, 1))
+                rows["paragraphs"].append(max(n_para, 1))
+                rows["reading_time"].append(_rhu(n_words / 200.0 * 60.0))
+                rows["n_the"].append(sum(1 for x in toks if x == "the"))
+                rows["n_bpe_tokens"].append(len(bpe_re.findall(t)))
+                # stopword_hits accumulates in STOPWORDS_MINI order like
+                # the staged sum (integer adds — order-insensitive)
+                counts: dict[str, int] = {}
+                for x in toks:
+                    if x in stop:
+                        counts[x] = counts.get(x, 0) + 1
+                stop_hits = sum(counts.get(w, 0) for w in stop)
+                rows["stopword_hits"].append(stop_hits)
+                n_alpha = len(non_alpha_re.sub("", t))
+                alpha_ratio = (n_alpha / n_chars) if n_chars > 0 else 0.0
+                mean_wl = (n_chars / n_words) if n_words > 0 else 0.0
+                stop_ratio = (stop_hits / n_words) if n_words > 0 else 0.0
+                score = (
+                    min(n_chars / 20.0, 40.0)
+                    + 30.0 * alpha_ratio
+                    + 20.0 * min(stop_ratio * 4.0, 1.0)
+                    + 10.0 * (1.0 if 3.0 <= mean_wl <= 8.0 else 0.0)
+                )
+                rows["alpha_ratio_x1e4"].append(_rhu(alpha_ratio * 10000))
+                rows["quality_score"].append(_rhu(min(score, 100.0)))
+                norm = norm_junk_re.sub(" ", t)
+                norm = tok_re.sub(" ", norm).strip(" ").lower()
+                bag = norm.split(" ")
+                bag.sort(key=lambda s: s.encode("utf-16-be"))
+                rows["bag_fp"].append(
+                    hashlib.md5(" ".join(bag).encode("utf-8")).hexdigest())
+            out = pdf[[id_col]].copy()
+            for k, v in rows.items():
+                out[k] = pd.Series(
+                    v, dtype=("object" if k == "bag_fp" else "int64"))
+            yield out
+
+    sel = docs.select(F.col(id_col), F.col(text_col))
+    return sel.mapInPandas(kernel, out_schema)
+
+
+def sentiment_batch(docs: DataFrame, lexicon: dict[str, int] | None = None,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """q_sentiment's output row in one Arrow kernel pass — bit-identical
+    to with_sentiment (inline occurrence algebra) with `score_join`
+    carrying the explode→broadcast-join path's sum (the two are equal
+    by construction: both total lexicon scores over whole tokens; the
+    agreement was already pinned when they were separate plans)."""
+    import re as _sre
+    from decimal import ROUND_HALF_UP, Decimal
+    from typing import Iterator
+
+    import pandas as pd
+
+    lex = dict(lexicon or AFINN_MINI)
+    tok_re = _sre.compile(_JAVA_WS + "+")
+
+    def _rhu(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "sentiment_score long, comparative_x1e6 long, "
+        "sentiment_label string, score_join long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores, comps, labels = [], [], []
+            for text in pdf[text_col]:
+                t = (text if text is not None else "").strip(" ")
+                toks = [] if t == "" else tok_re.split(t)
+                score = 0
+                for x in toks:
+                    s = lex.get(x)
+                    if s is not None:
+                        score += s
+                n = len(toks)
+                comp = (score / n) if n > 0 else 0.0
+                scores.append(score)
+                comps.append(_rhu(comp * 1_000_000))
+                labels.append(
+                    "Positive" if comp > 0.05
+                    else ("Negative" if comp < 0.05 else "Neutral"))
+            out = pdf[[id_col]].copy()
+            out["sentiment_score"] = pd.Series(scores, dtype="int64")
+            out["comparative_x1e6"] = pd.Series(comps, dtype="int64")
+            out["sentiment_label"] = labels
+            out["score_join"] = pd.Series(scores, dtype="int64")
+            yield out
+
+    sel = docs.select(F.col(id_col), F.col(text_col))
+    return sel.mapInPandas(kernel, out_schema)

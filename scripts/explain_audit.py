@@ -46,10 +46,14 @@ EXPECTATIONS = {
     "domain_rules_join": [
         ("Broadcast", "rules table must broadcast, never shuffle the frontier"),
     ],
-    # sentiment lexicon join path (folded into `sentiment`): broadcast
-    # the lexicon
+    # sentiment: per-doc lexicon sum is per-row work — one Arrow kernel
+    # pass (r6; the declarative explode→broadcast-join twin stays
+    # parity-pinned in test_textstats)
     "sentiment": [
-        ("BroadcastHashJoin", "AFINN lexicon must broadcast"),
+        ("MapInPandas", "per-doc lexicon sum runs in the Arrow kernel"),
+    ],
+    "text_quality": [
+        ("MapInPandas", "per-doc stats run in the Arrow kernel"),
     ],
     # keywords/keyphrases: the Arrow kernel path — per-doc TF top-k is
     # per-row work, so the plan must be one MapInPandas over the scan

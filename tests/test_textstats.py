@@ -350,3 +350,81 @@ def test_normtext_positive_class_equivalence():
     for i in range(0x10000):
         c = chr(i)
         assert bool(neg.match(c)) == bool(pos.match(c)), hex(i)
+
+
+ADVERSARIAL_TEXTS = [
+    (101, ""),
+    (102, "   "),
+    (103, "\t\n"),
+    (104, "one. two! three? four"),
+    (105, "para one\n\npara two\n\n\npara three"),
+    (106, "the the the a and of to in"),
+    (107, "fast big merge slow small dup good great bad error"),
+    (108, "word " * 300 + "end."),
+    (109, "élan café İstanbul STRASSE straße"),
+    (110, "naïve nbsp bound"),          # NBSP is not Java \s
+    (111, "mixed 123 digits 4.5 and—dashes it's"),
+    (112, "你好 world Ж test"),
+    (113, "trailing spaces   "),
+    (114, "a.b.c...d!!e??f"),
+    (115, "UPPER lower MiXeD 'qu 'quo"),
+]
+
+
+def test_text_quality_kernel_matches_declarative(spark):
+    """text_quality_batch must be BIT-EXACT with the staged Column-
+    algebra plan it replaced (readability_cols + occurrences 'the' +
+    bpe_token_count + with_quality + bag_fingerprint) over testdata
+    docs plus adversarial fixtures (empty/whitespace-only text, NBSP,
+    non-Latin scripts, punctuation runs, paragraph breaks)."""
+    import pyspark.sql.functions as F
+    from horseman_article_parser_spark.functions import textstats as TS
+
+    edge = spark.createDataFrame(
+        ADVERSARIAL_TEXTS, "doc_id long, text string")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for d in (edge, docs.select("doc_id", "text")):
+        staged = d.withColumn("_toks", TS.tokens_col("text"))
+        toks = F.col("_toks")
+        rcols = TS.readability_cols(F.col("text"), tokens=toks)
+        staged = TS.with_quality(staged, "text", tokens=toks)
+        decl = staged.select(
+            "doc_id",
+            *[c.alias(n) for n, c in rcols.items()],
+            TS.occurrences_col("text", "the", tokens=toks).alias("n_the"),
+            TS.bpe_token_count_col("text").alias("n_bpe_tokens"),
+            "stopword_hits", "alpha_ratio_x1e4", "quality_score",
+            TS.bag_fingerprint_col("text").alias("bag_fp"),
+        )
+        kern = TS.text_quality_batch(d)
+        a = sorted(map(tuple, decl.collect()))
+        b = sorted(map(tuple, kern.collect()))
+        assert a == b, next(
+            (x, y) for x, y in zip(a, b) if x != y)
+
+
+def test_sentiment_kernel_matches_declarative(spark):
+    """sentiment_batch must be BIT-EXACT with with_sentiment (inline
+    staged algebra) and its score must equal the explode→broadcast-join
+    path's sum (sentiment_via_join) over testdata + fixtures."""
+    from horseman_article_parser_spark.functions import textstats as TS
+
+    edge = spark.createDataFrame(
+        ADVERSARIAL_TEXTS, "doc_id long, text string")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for d in (edge, docs.select("doc_id", "text")):
+        decl = TS.with_sentiment(d).select(
+            "doc_id", "sentiment_score", "comparative_x1e6",
+            "sentiment_label")
+        kern = TS.sentiment_batch(d)
+        a = sorted(map(tuple, decl.collect()))
+        b = sorted(
+            (r.doc_id, r.sentiment_score, r.comparative_x1e6,
+             r.sentiment_label)
+            for r in kern.collect())
+        assert a == b, next((x, y) for x, y in zip(a, b) if x != y)
+        # the join-path twin agrees on the score (score_join column)
+        jn = {r.doc_id: r.sentiment_score
+              for r in TS.sentiment_via_join(d).collect()}
+        for r in kern.collect():
+            assert jn[r.doc_id] == r.score_join, r
