@@ -1421,24 +1421,26 @@ N_MINHASH = 8
 def q_minhash_lsh(spark, sf_dir):
     """MinHash signatures + LSH band buckets in one surface (the bucket
     rows carry the per-doc signature columns, so both stages of the
-    near-dup pipeline are oracle-checked by one query)."""
-    # keyed fan-out: the spread shuffle doubles as the signature agg's
-    # doc_id exchange (explode preserves partitioning), so the shingle
-    # explode feeds the 8 min-aggregates with no second exchange
-    docs = _load(_prep(spark), sf_dir, "documents", key="doc_id")
-    sigs = DD.minhash_signatures(docs, n_hashes=N_MINHASH)
-    return DD.lsh_band_buckets(sigs, bands=4, rows_per_band=2,
-                               carry_signature=True)
+    near-dup pipeline are oracle-checked by one query).
+
+    r6 (guide §4): a doc's signature depends on that doc alone, so the
+    explode → hash-agg plan paid a ~12M-row Generate plus a shuffle
+    for per-row work; the kernel does the identical md5/universal-hash
+    arithmetic in one pass (bit-parity pinned in test_dedup), zero
+    exchanges beyond the input spread."""
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return DD.minhash_lsh_batch(docs, n_hashes=N_MINHASH, bands=4,
+                                rows_per_band=2)
 
 
 SIMHASH_BITS = 16
 
 
 def q_simhash(spark, sf_dir):
-    # keyed fan-out (same rationale as minhash): token explode preserves
-    # hash(doc_id) partitioning, per-bit sign-sums agg shuffle-free
-    docs = _load(_prep(spark), sf_dir, "documents", key="doc_id")
-    return DD.simhash(docs, bits=SIMHASH_BITS)
+    # r6: per-doc fingerprint → one kernel pass (see q_minhash_lsh);
+    # bit-parity with the declarative sign-sum plan pinned in test_dedup
+    docs = _load(_prep(spark), sf_dir, "documents")
+    return DD.simhash_batch(docs, bits=SIMHASH_BITS)
 
 
 def q_ngram_jaccard(spark, sf_dir):

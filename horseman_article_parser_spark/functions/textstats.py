@@ -1792,6 +1792,18 @@ def _java_tokens(text: str, _split=None) -> list[str]:
     return _re.split(_JAVA_WS + "+", t)
 
 
+def _java_normalize(text: str) -> str:
+    """Python mirror of normalize_text_col: junk→space, Java-\\s+
+    collapse, trim(U+0020), lower — bit-identical (pinned by the
+    text_quality kernel test via bag_fp and by the dedup kernel
+    tests)."""
+    import re as _re
+
+    t = _re.sub(NORMTEXT_JUNK_RE, " ", text)
+    t = _re.sub(_JAVA_WS + "+", " ", t)
+    return t.strip(" ").lower()
+
+
 def text_quality_batch(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """q_text_quality's full output row in one Arrow kernel pass —

@@ -481,3 +481,173 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
         .select("id_a", "id_b", F.lit(1.0).alias("cosine"))
     )
     return cross.unionByName(within)
+
+
+# ------------------------------------------------ per-doc batch kernels
+#
+# Arrow twins of minhash_signatures→lsh_band_buckets and simhash (guide
+# §4): a document's MinHash signature / SimHash fingerprint depends on
+# that document alone, so the declarative explode → hash-aggregate
+# shape pays a 12M-row Generate plus a (map-side-combined) shuffle for
+# what is per-row work. The kernels do the identical md5-based integer
+# arithmetic (functions.hashing contract) in one pass — shingle/token
+# h32 values are memoized across the batch (synthetic and boilerplate
+# corpora repeat heavily) and the per-doc mins / per-bit sign-sums are
+# vectorized with numpy reduceat over one flat hash array.
+# Bit-equivalence with the declarative plans is pinned in
+# tests/test_dedup.py::test_minhash_kernel_matches_declarative /
+# test_simhash_kernel_matches_declarative.
+
+
+def _h32_py(s: str) -> int:
+    """Python mirror of hashing.h32: md5 → first 8 hex digits → uint32."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def minhash_lsh_batch(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
+                      rows_per_band: int = 2, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = DEFAULT_SHINGLE_K,
+                      step: int = DEFAULT_SHINGLE_STEP) -> DataFrame:
+    """minhash_signatures + lsh_band_buckets(carry_signature=True) in
+    one kernel pass: (band, bucket, doc_id, mh0..mh{n-1}) rows, zero
+    shuffles."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import MINHASH_P, minhash_params
+    from ..functions.textstats import _java_normalize
+
+    assert n_hashes >= bands * rows_per_band
+    params = minhash_params(n_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+
+    id_field = docs.schema[id_col]
+    mh_cols = [f"mh{j}" for j in range(n_hashes)]
+    out_schema = (
+        "band int, bucket long, "
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        + ", ".join(f"{c} long" for c in mh_cols)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def sh_hash(s: str) -> int:
+            h = memo.get(s)
+            if h is None:
+                h = _h32_py(s)
+                memo[s] = h
+            return h
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat: list[int] = []
+            offsets = [0]
+            for text in pdf[text_col]:
+                t = _java_normalize(text if text is not None else "")
+                # mirror of shingles_col: 1-based stride positions over
+                # sequence(1, greatest(len-(k-1), 1), step)
+                top = max(len(t) - (k - 1), 1)
+                flat.extend(
+                    sh_hash(t[i:i + k]) for i in range(0, top, step)
+                )
+                offsets.append(len(flat))
+            hm = np.asarray(flat, dtype=np.int64) % MINHASH_P
+            starts = np.asarray(offsets[:-1], dtype=np.intp)
+            # h_j(x) = (a_j * (x mod P) + b_j) mod P, all < 2^52; one
+            # pass per hash keeps temporaries at one row, not n_hashes
+            mins = np.empty((n_hashes, len(pdf)), dtype=np.int64)
+            for j in range(n_hashes):
+                mins[j] = np.minimum.reduceat(
+                    (a_vec[j] * hm + b_vec[j]) % MINHASH_P, starts)
+            ids = pdf[id_col].to_numpy()
+            # band explosion vectorized: rows are doc-major × band
+            bucket_keys = [
+                "_".join(str(int(mins[b * rows_per_band + r, d]))
+                         for r in range(rows_per_band))
+                for d in range(len(pdf)) for b in range(bands)
+            ]
+            out = pd.DataFrame({
+                "band": pd.Series(
+                    np.tile(np.arange(bands, dtype=np.int32), len(pdf))),
+                "bucket": pd.Series(
+                    [sh_hash(kk) for kk in bucket_keys], dtype="int64"),
+                id_col: pd.Series(np.repeat(ids, bands),
+                                  dtype=pdf[id_col].dtype),
+            })
+            for j, c in enumerate(mh_cols):
+                out[c] = pd.Series(np.repeat(mins[j], bands), dtype="int64")
+            yield out
+
+    sel = docs.select(F.col(id_col), F.col(text_col))
+    return sel.mapInPandas(kernel, out_schema)
+
+
+def simhash_batch(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """simhash() in one kernel pass: (doc_id, simhash) with the per-bit
+    sign-sums vectorized over a flat token-hash array."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.textstats import _java_tokens
+
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, simhash long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def tok_hash(s: str) -> int:
+            h = memo.get(s)
+            if h is None:
+                h = _h32_py(s)
+                memo[s] = h
+            return h
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat: list[int] = []
+            offsets = [0]
+            for text in pdf[text_col]:
+                toks = _java_tokens(text if text is not None else "")
+                flat.extend(tok_hash(t) for t in toks)
+                offsets.append(len(flat))
+            h = np.asarray(flat, dtype=np.int64)
+            # clip: an empty trailing segment would index past the end
+            # (its reduceat value is garbage either way — masked below)
+            starts = np.minimum(
+                np.asarray(offsets[:-1], dtype=np.intp),
+                max(len(flat) - 1, 0))
+            lens = np.diff(offsets)
+            sigs = np.zeros(len(pdf), dtype=np.int64)
+            if len(flat):
+                for b in range(bits):
+                    # sign-sum = 2*(count of 1-bits) - token count; one
+                    # 1-D pass per bit keeps temporaries at one row
+                    ones = np.add.reduceat((h >> b) & 1, starts)
+                    sums = 2 * ones - lens
+                    # reduceat quirk: an empty segment returns the
+                    # element AT the start index — an empty token array
+                    # contributes nothing to any bit (the explode_outer
+                    # null row's 0 contribution)
+                    sigs[(sums > 0) & (lens > 0)] |= np.int64(1) << b
+            out = pd.DataFrame({
+                id_col: pdf[id_col],
+                "simhash": pd.Series(sigs, dtype="int64"),
+            })
+            yield out
+
+    sel = docs.select(F.col(id_col), F.col(text_col))
+    return sel.mapInPandas(kernel, out_schema)

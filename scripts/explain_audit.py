@@ -60,10 +60,11 @@ EXPECTATIONS = {
     "keywords_topk": [
         ("MapInPandas", "per-doc top-k runs in the Arrow kernel"),
     ],
-    # minhash (folded into minhash_lsh): ONE data exchange (the groupBy
-    # on doc_id); partial aggregation map-side
+    # minhash (folded into minhash_lsh): per-doc signatures are per-row
+    # work — one Arrow kernel pass, no explode/aggregate (r6; the
+    # declarative plan stays parity-pinned in test_dedup)
     "minhash_lsh": [
-        ("partial_min", "map-side partial mins before the shuffle"),
+        ("MapInPandas", "per-doc signatures run in the Arrow kernel"),
     ],
     # pricing summary: partial agg + single shuffle
     "pricing_summary": [

@@ -167,3 +167,51 @@ def test_embedding_near_dups_plan_never_shuffles_vectors_on_bucket(spark):
     assert bucket_lines, plan  # the bucket shuffle must actually exist
     for line in bucket_lines:
         assert "embedding" not in line, line
+
+
+def test_minhash_kernel_matches_declarative(spark):
+    """minhash_lsh_batch must be BIT-EXACT with minhash_signatures →
+    lsh_band_buckets(carry_signature=True) — same buckets, same mh
+    values — over testdata docs plus edge fixtures (empty text, short
+    text below one shingle, whitespace-only, repeated boilerplate)."""
+    from horseman_article_parser_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_lsh_batch,
+        minhash_signatures,
+    )
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "   "), (4, "same same same same"),
+         (5, "The quick-brown FOX! jumps\nover 42 lazy dogs."),
+         (6, "same same same same")],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for d in (edge, docs.select("doc_id", "text")):
+        decl = lsh_band_buckets(
+            minhash_signatures(d, n_hashes=8), bands=4, rows_per_band=2,
+            carry_signature=True)
+        kern = minhash_lsh_batch(d, n_hashes=8, bands=4, rows_per_band=2)
+        a = sorted(map(tuple, decl.collect()))
+        b = sorted(map(tuple, kern.collect()))
+        assert a == b, next((x, y) for x, y in zip(a, b) if x != y)
+
+
+def test_simhash_kernel_matches_declarative(spark):
+    """simhash_batch must be BIT-EXACT with the declarative per-bit
+    sign-sum plan over testdata plus edge fixtures."""
+    from horseman_article_parser_spark.operators.dedup import (
+        simhash,
+        simhash_batch,
+    )
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "   "), (4, "a b c d e f g"),
+         (5, "The quick-brown FOX! jumps\nover 42 lazy dogs.")],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for d in (edge, docs.select("doc_id", "text")):
+        a = sorted(map(tuple, simhash(d, bits=16).collect()))
+        b = sorted(map(tuple, simhash_batch(d, bits=16).collect()))
+        assert a == b, next((x, y) for x, y in zip(a, b) if x != y)
