@@ -263,6 +263,15 @@ _CDATA_CLOSE = {
     for t in ("script", "style")
 }
 
+# Start-tag memo: raw "<tag ...>" slice (no '>' inside attr values) →
+# parsed (kind, tag, attrs). Real corpora repeat tag strings heavily
+# (markup boilerplate), so the regex+attr parse runs once per DISTINCT
+# tag string per worker instead of once per occurrence. Entries are
+# immutable (handlers copy attrs via dict()); capped so an adversarial
+# corpus of unique tags cannot grow it unboundedly.
+_TAG_MEMO: dict[str, tuple[str, str, list]] = {}
+_TAG_MEMO_CAP = 1 << 16
+
 
 def _fast_feed(b: _TreeBuilder, rawdata: str) -> bool:
     """Drive b's handlers over the whole document; False = bail."""
@@ -288,6 +297,31 @@ def _fast_feed(b: _TreeBuilder, rawdata: str) -> bool:
         i = j
         if starttagopen.match(rawdata, i):
             # --- start tag (parse_starttag mirror)
+            gt = rawdata.find(">", i)
+            if gt > 0:
+                inner = rawdata[i + 1:gt]
+                if inner.isascii() and inner.isalpha():
+                    # bare "<tag>": tagfind_tolerant would match the
+                    # whole name, no attrs, end ">" — bit-identical
+                    tag = inner.lower()
+                    b.handle_starttag(tag, [])
+                    if tag in ("script", "style"):
+                        cdata = tag
+                    i = gt + 1
+                    continue
+                hit = _TAG_MEMO.get(rawdata[i:gt + 1])
+                if hit is not None:
+                    kind, tag, attrs = hit
+                    if kind == "s":
+                        b.handle_starttag(tag, attrs)
+                        if tag in ("script", "style"):
+                            cdata = tag
+                    elif kind == "se":
+                        b.handle_startendtag(tag, attrs)
+                    else:
+                        b.handle_data(tag)
+                    i = gt + 1
+                    continue
             lm = locatestarttagend_tolerant.match(rawdata, i)
             if lm is None:
                 return False
@@ -321,18 +355,32 @@ def _fast_feed(b: _TreeBuilder, rawdata: str) -> bool:
             end = rawdata[k:endpos].strip()
             if end not in (">", "/>"):
                 b.handle_data(rawdata[i:endpos])
+                memo_val = ("d", rawdata[i:endpos], None)
             elif end == "/>":
                 b.handle_startendtag(tag, attrs)
+                memo_val = ("se", tag, attrs)
             else:
                 b.handle_starttag(tag, attrs)
                 if tag in ("script", "style"):
                     cdata = tag
+                memo_val = ("s", tag, attrs)
+            # memoize only when the tag ends at the first '>' (an attr
+            # value containing '>' makes the slice key ambiguous)
+            if (gt > 0 and endpos == gt + 1
+                    and len(_TAG_MEMO) < _TAG_MEMO_CAP):
+                _TAG_MEMO[rawdata[i:endpos]] = memo_val
             i = endpos
         elif rawdata.startswith("</", i):
             # --- end tag (parse_endtag mirror, non-cdata)
             gt = rawdata.find(">", i + 1)
             if gt < 0:
                 return False
+            inner = rawdata[i + 2:gt]
+            if inner.isascii() and inner.isalpha():
+                # bare "</tag>": endtagfind matches exactly this
+                b.handle_endtag(inner.lower())
+                i = gt + 1
+                continue
             em = endtagfind.match(rawdata, i)
             if em is not None:
                 b.handle_endtag(em.group(1).lower())

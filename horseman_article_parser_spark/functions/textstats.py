@@ -1643,12 +1643,14 @@ def keywords_phrases_batch(docs: DataFrame, k_terms: int = 10,
     (pinned by tests/test_textstats.py::
     test_keywords_kernel_matches_declarative).
 
-    Tokenization stays JVM-side (tokens_col), mirroring how the langid
-    kernel keeps normalization JVM-side: the kernel sees the exact
-    token arrays the declarative plan would explode, so Java-vs-Python
-    regex whitespace semantics can never diverge. In-kernel the noun
-    gate (first-char Lu | lexicon + ly/ing/ed suffix rules) is memoized
-    per distinct surface token across the batch — the declarative plan
+    r6: tokenization moved IN-kernel (_java_tokens, the exact Java-\\s
+    mirror the other kernels pin) — shipping JVM-built array<string>
+    columns through Arrow materialized a per-row object array on the
+    pandas side and dominated the query (~1.0 s of its 1.4 s at sf1);
+    raw text crosses instead. The noun gate (first-char Lu | lexicon +
+    ly/ing/ed suffix rules) is memoized per distinct surface token
+    across the batch and evaluated once per token POSITION per doc, so
+    each n-gram checks precomputed flags — the declarative plan
     re-evaluates its regex per occurrence. round(x, 9) and
     round(x*1e9) replicate Spark's HALF_UP-on-shortest-repr double
     rounding via Decimal so score_x1e9 is bit-identical.
@@ -1707,8 +1709,8 @@ def keywords_phrases_batch(docs: DataFrame, k_terms: int = 10,
 
         for pdf in batches:
             ids, kinds, grams, tfs, ranks, scores = [], [], [], [], [], []
-            for rid, toks in zip(pdf[id_col], pdf["_t"]):
-                toks = list(toks)
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _java_tokens(text if text is not None else "")
                 # kind='term': stopword + length + gate filter, TF,
                 # (tf desc, term asc) top-k — keywords_topk exactly
                 cnt = Counter(
@@ -1726,14 +1728,18 @@ def keywords_phrases_batch(docs: DataFrame, k_terms: int = 10,
                 # score = round(tf/max_tf, 9) — keyphrases_topk exactly
                 if len(toks) < min(lens):
                     continue
+                gates = [gate(t) for t in toks]
+                stops = [t in stop for t in toks]
                 pcnt: Counter = Counter()
+                n_toks = len(toks)
                 for ln in lens:
-                    for i in range(len(toks) - ln + 1):
-                        w = toks[i:i + ln]
-                        if w[0] in stop or w[-1] in stop:
+                    for i in range(n_toks - ln + 1):
+                        if stops[i] or stops[i + ln - 1]:
                             continue
-                        p = " ".join(w)
-                        if len(p) > 3 and all(gate(t) for t in w):
+                        if not all(gates[i:i + ln]):
+                            continue
+                        p = " ".join(toks[i:i + ln])
+                        if len(p) > 3:
                             pcnt[p] += 1
                 if not pcnt:
                     continue
@@ -1753,8 +1759,8 @@ def keywords_phrases_batch(docs: DataFrame, k_terms: int = 10,
                 "score_x1e9": pd.Series(scores, dtype="object"),
             })
 
-    toked = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
-    return toked.mapInPandas(kernel, out_schema)
+    sel = docs.select(F.col(id_col), F.col(text_col))
+    return sel.mapInPandas(kernel, out_schema)
 
 
 # ------------------------------------------------- per-doc stat kernels
