@@ -2404,7 +2404,10 @@ def q_image_near_dups(spark, sf_dir):
     )
 
     spark = _prep(spark)
-    base = build_images_table(spark, n=64).select("image_id", "phash")
+    # column-pruned generation: this query never touches `bytes`, and
+    # the kernel is opaque to Catalyst, so without the hint every row
+    # paid the PNG/JPEG entropy encode (~2.4 s of its 3.1 s at n=64)
+    base = build_images_table(spark, n=64, columns=("image_id", "phash"))
     idx = F.substring("image_id", 5, 8).cast("int")
     mask = F.when(idx % 2 == 0, F.lit(PHASH_MASK_NEAR)).otherwise(
         F.lit(PHASH_MASK_FAR)

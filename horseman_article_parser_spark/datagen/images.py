@@ -107,41 +107,52 @@ def image_id_for(img_idx: int) -> str:
     return f"img-{img_idx:08d}"
 
 
-def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
+def _gen_batch(ids: np.ndarray, columns: tuple[str, ...] | None = None) -> pd.DataFrame:
+    want = set(columns) if columns is not None else None
     rows = []
     for i in ids:
         i = int(i)
         px, w, h = synth_pixels(i)
         fmt = "png" if i % 2 == 0 else "jpeg"
-        data = (
-            encode_png(px) if fmt == "png"
-            else encode_jpeg(px, jpeg_quality_for(i),
-                             subsampling=jpeg_subsampling_for(i))
-        )
-        rows.append(
-            {
-                "image_id": image_id_for(i),
-                "bytes": data,
-                "w": w,
-                "h": h,
-                "fmt": fmt,
-                "caption": caption_for(i),
-                "phash": phash64(px),
-            }
-        )
-    return pd.DataFrame(rows)
+        row = {
+            "image_id": image_id_for(i),
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": caption_for(i),
+            "phash": phash64(px),
+        }
+        if want is None or "bytes" in want:
+            row["bytes"] = (
+                encode_png(px) if fmt == "png"
+                else encode_jpeg(px, jpeg_quality_for(i),
+                                 subsampling=jpeg_subsampling_for(i))
+            )
+        rows.append(row)
+    pdf = pd.DataFrame(rows)
+    order = [f.name for f in IMAGES_SCHEMA.fields
+             if want is None or f.name in want]
+    return pdf[order]
 
 
-def build_images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic images table of `n` rows."""
+def build_images_table(spark: SparkSession, n: int, partitions: int | None = None,
+                       columns: tuple[str, ...] | None = None) -> DataFrame:
+    """Distributed deterministic images table of `n` rows.
+
+    `columns` prunes what the generator computes — the kernel is opaque
+    to Catalyst, so a caller that only needs (image_id, phash) must say
+    so or it silently pays the PNG/JPEG entropy encode for every row
+    (guide §4.2: column pruning does not reach inside mapInPandas)."""
     # default to ~8 ids per partition: JPEG entropy coding is the one
     # python-loop kernel in the engine, so small tables must still fan
     # out across cores instead of serializing on one task
     base = spark.range(0, n, 1, partitions or min(32, max(1, n // 8)))
+    schema = (IMAGES_SCHEMA if columns is None else T.StructType(
+        [f for f in IMAGES_SCHEMA.fields if f.name in set(columns)]))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _gen_batch(pdf["id"].values)
+                yield _gen_batch(pdf["id"].values, columns)
 
-    return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
+    return base.mapInPandas(gen, schema=schema)

@@ -151,3 +151,19 @@ def test_image_features_survives_truncated_payload(spark):
     by_id = {r.image_id: r for r in rows}
     assert by_id["img-trunc"].decode_ok is False
     assert sum(r.decode_ok for r in rows) == 4
+
+
+def test_build_images_table_column_pruning(spark):
+    """columns= prunes generator work (the kernel is opaque to
+    Catalyst); pruned rows must carry identical values to the full
+    table's columns."""
+    from horseman_article_parser_spark.datagen.images import (
+        build_images_table,
+    )
+
+    full = {r.image_id: r.phash
+            for r in build_images_table(spark, 16).collect()}
+    pruned = build_images_table(spark, 16, columns=("image_id", "phash"))
+    assert pruned.schema.fieldNames() == ["image_id", "phash"]
+    got = {r.image_id: r.phash for r in pruned.collect()}
+    assert got == full
