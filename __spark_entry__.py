@@ -1590,7 +1590,10 @@ def q_label_centroids(spark, sf_dir):
 
 
 def q_event_hourly(spark, sf_dir):
-    ev = _load(_prep(spark), sf_dir, "events")
+    # no fan-out: the (hour, type) partial agg collapses rows before
+    # any exchange (same rationale as q_pricing_summary); the events
+    # file has enough row groups to feed the scan
+    ev = _load(_prep(spark), sf_dir, "events", fanout=False)
     return (
         ev.groupBy(
             F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
@@ -2277,7 +2280,9 @@ def q_windowed_metrics(spark, sf_dir):
         windowed_host_metrics,
     )
 
-    ev = _load(_prep(spark), sf_dir, "events")
+    # no fan-out: the (window, host) partial agg collapses rows before
+    # any exchange (same rationale as q_pricing_summary)
+    ev = _load(_prep(spark), sf_dir, "events", fanout=False)
     events = ev.select(
         F.col("ts").alias("event_time"),
         F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"),
