@@ -84,7 +84,7 @@ _SPREAD_KEYS: dict[str, list[str]] = {
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str,
-          fanout: bool = True, key: str | None = None) -> DataFrame:
+          fanout: bool | str = True, key: str | None = None) -> DataFrame:
     """Read a table, fanning out DEGENERATE input layouts.
 
     The small-SF test parquet is written as ONE row group per file; a
@@ -100,13 +100,15 @@ def _load(spark: SparkSession, sf_dir: str, name: str,
     (scripts/explain_audit.py forbids them on per-row plans).
 
     r6 (guide §2.4 — remove shuffles outright):
-    - `fanout=False` skips the spread entirely. Right for (a) queries
-      that AGGREGATE the table straight down (the partial agg collapses
-      rows before any exchange, so the round-robin shuffle of the full
-      table was pure cost; scan parallelism now comes from row-group
-      splits via the session's maxPartitionBytes), and (b) small sides
+    - `fanout=False` skips the spread entirely. Right for small sides
       that are about to be BROADCAST (repartitioning a side that every
       executor receives whole is waste).
+    - `fanout="agg"` is for queries that AGGREGATE the table straight
+      down: the partial agg collapses rows before any exchange, so the
+      spread is pure cost whenever the scan has splits at all — but a
+      single-row-group BIG table would run its whole map side in one
+      task, so the truly degenerate layout (groups == 1) still
+      spreads. Layout-robust either way.
     - `key=` replaces the generic spread with a hash repartition on
       the column the query shuffles by NEXT (window/groupBy key): the
       fan-out exchange then doubles as the query's own exchange and
@@ -118,19 +120,27 @@ def _load(spark: SparkSession, sf_dir: str, name: str,
       no sort-before-repartition pass, deterministic under task retry
       (guide §2.5)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if not fanout:
+    if fanout is False:
         return df
     ckey = (sf_dir, name)
-    need = _FANOUT_CACHE.get(ckey)
-    if need is None:
+    groups = _FANOUT_CACHE.get(ckey)
+    if groups is None:
         try:
             import pyarrow.parquet as pq
 
             groups = pq.ParquetFile(f"{sf_dir}/{name}.parquet").num_row_groups
         except Exception:
             groups = 1 << 30  # unreadable metadata: assume splittable
+        _FANOUT_CACHE[ckey] = groups
+    if fanout == "agg":
+        # aggregate-straight-down reader: the map-side partial agg
+        # collapses rows before any exchange, so the spread is pure
+        # cost WHEN the scan has splits at all — but a single-row-group
+        # big table would otherwise run its whole map side in ONE task,
+        # so the truly degenerate layout still spreads
+        need = groups == 1
+    else:
         need = groups < spark.sparkContext.defaultParallelism
-        _FANOUT_CACHE[ckey] = need
     if need:
         cols = [key] if key is not None else _SPREAD_KEYS.get(name)
         if cols:
@@ -1593,7 +1603,7 @@ def q_event_hourly(spark, sf_dir):
     # no fan-out: the (hour, type) partial agg collapses rows before
     # any exchange (same rationale as q_pricing_summary); the events
     # file has enough row groups to feed the scan
-    ev = _load(_prep(spark), sf_dir, "events", fanout=False)
+    ev = _load(_prep(spark), sf_dir, "events", fanout="agg")
     return (
         ev.groupBy(
             F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
@@ -1662,7 +1672,7 @@ def q_pricing_summary(spark, sf_dir):
     # no fan-out: the partial agg collapses 6M rows to a handful BEFORE
     # the exchange, so round-robin-shuffling the whole table first was
     # pure cost; scan parallelism comes from row-group splits
-    li = _load(_prep(spark), sf_dir, "lineitem", fanout=False)
+    li = _load(_prep(spark), sf_dir, "lineitem", fanout="agg")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1692,7 +1702,7 @@ def q_top_orders_per_customer(spark, sf_dir):
 
 def q_revenue_by_nation(spark, sf_dir):
     spark = _prep(spark)
-    orders = _load(spark, sf_dir, "orders", fanout=False)
+    orders = _load(spark, sf_dir, "orders", fanout="agg")
     cust = _load(spark, sf_dir, "customer", fanout=False)
     nation = _load(spark, sf_dir, "nation", fanout=False)
     return (
@@ -1708,7 +1718,7 @@ def q_revenue_by_nation(spark, sf_dir):
 
 def q_part_type_stats(spark, sf_dir):
     spark = _prep(spark)
-    li = _load(spark, sf_dir, "lineitem", fanout=False)
+    li = _load(spark, sf_dir, "lineitem", fanout="agg")
     part = _load(spark, sf_dir, "part", fanout=False)
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
@@ -2282,7 +2292,7 @@ def q_windowed_metrics(spark, sf_dir):
 
     # no fan-out: the (window, host) partial agg collapses rows before
     # any exchange (same rationale as q_pricing_summary)
-    ev = _load(_prep(spark), sf_dir, "events", fanout=False)
+    ev = _load(_prep(spark), sf_dir, "events", fanout="agg")
     events = ev.select(
         F.col("ts").alias("event_time"),
         F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"),
