@@ -1434,7 +1434,7 @@ def q_minhash_lsh(spark, sf_dir):
     near-dup pipeline are oracle-checked by one query).
 
     r6 (guide §4): a doc's signature depends on that doc alone, so the
-    explode → hash-agg plan paid a ~12M-row Generate plus a shuffle
+    explode → hash-agg plan paid a ~3.7M-row (sf1) Generate plus a shuffle
     for per-row work; the kernel does the identical md5/universal-hash
     arithmetic in one pass (bit-parity pinned in test_dedup), zero
     exchanges beyond the input spread."""

@@ -488,7 +488,7 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
 # Arrow twins of minhash_signatures→lsh_band_buckets and simhash (guide
 # §4): a document's MinHash signature / SimHash fingerprint depends on
 # that document alone, so the declarative explode → hash-aggregate
-# shape pays a 12M-row Generate plus a (map-side-combined) shuffle for
+# shape pays a ~3.7M-row (sf1) Generate plus a (map-side-combined) shuffle for
 # what is per-row work. The kernels do the identical md5-based integer
 # arithmetic (functions.hashing contract) in one pass — shingle/token
 # h32 values are memoized across the batch (synthetic and boilerplate
