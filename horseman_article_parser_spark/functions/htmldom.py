@@ -194,12 +194,17 @@ class _TreeBuilder(HTMLParser):
         if tag in _VOID:
             return
         n = len(self._all)
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                for closed in self.stack[i:]:
-                    closed.end = n
-                del self.stack[i:]
-                break
+        stack = self.stack
+        # well-formed fast path: the closing tag matches the open element
+        if stack[-1].tag == tag and len(stack) > 1:
+            stack.pop().end = n
+        else:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    for closed in stack[i:]:
+                        closed.end = n
+                    del stack[i:]
+                    break
         if tag in ("script", "style"):
             self._raw_text_tag = None
 
